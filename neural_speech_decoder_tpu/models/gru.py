@@ -1,0 +1,221 @@
+"""Stacked (bi)GRU CTC decoder — the framework's baseline encoder.
+
+Capability parity with the reference ``GRUDecoder`` (``model.py:7-123``):
+Gaussian smoothing (20 taps, torch-"same" padding) → per-day affine →
+Softsign → temporal unfold (k=32, s=4) → 5-layer bidirectional GRU (H=1024)
+→ linear head to ``n_classes + 1`` CTC logits.
+
+TPU-first redesign (not a translation):
+  * The ``[B, L, C*k]`` unfold is never materialized: layer-0's input
+    projection for all directions is one strided conv
+    ``[B,T,256] ⊛ [32,256,3H·dirs]`` straight onto the MXU
+    (``ops/unfold.py::unfold_matmul``), replacing torch's
+    Unfold→cuDNN-GRU input matmul.
+  * Each layer precomputes input projections for *all* timesteps as one
+    large matmul, so the ``lax.scan`` body contains only the recurrent
+    ``[dirs·B, H] @ [H, 3H]`` matmul + gate pointwise ops (VPU-fused).
+  * Both directions advance in one scan step via a batched einsum over a
+    leading direction axis; the backward direction consumes time-flipped
+    inputs (equivalent to torch's unpacked bidirectional GRU over padded
+    batches).
+  * Per-layer inter-layer dropout (train only), as torch ``nn.GRU(dropout=)``.
+
+Intentional divergence (SURVEY.md §7 quirk policy): the reference's 24 dead
+``inpLayer{i}`` Linears (``model.py:66-73``, created but never called) are
+not recreated.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.day_affine import day_affine, init_day_affine
+from ..ops.gaussian import gaussian_smooth
+from ..ops.unfold import unfold_matmul, unfold_output_length
+from .common import orthogonal, torch_linear_init, uniform_bound, xavier_uniform
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class GRUConfig:
+    neural_dim: int = 256
+    n_classes: int = 40  # excl. blank; head outputs n_classes + 1
+    hidden_dim: int = 1024
+    num_layers: int = 5
+    n_days: int = 24
+    dropout: float = 0.4
+    stride_len: int = 4
+    kernel_len: int = 32
+    gaussian_smooth_width: float = 2.0
+    gaussian_kernel_size: int = 20  # fixed in the reference (model.py:40-42)
+    bidirectional: bool = True
+    dtype: Any = jnp.float32
+
+    @property
+    def num_dirs(self) -> int:
+        return 2 if self.bidirectional else 1
+
+    @property
+    def input_dim(self) -> int:
+        return self.neural_dim * self.kernel_len
+
+    @property
+    def n_out(self) -> int:
+        return self.n_classes + 1
+
+
+def init_gru_params(key: jax.Array, cfg: GRUConfig) -> Params:
+    """Initialize the full parameter pytree.
+
+    Layout per GRU layer (gate order r,z,n along the 3H axis, matching torch
+    chunking so reference checkpoints can be imported):
+      w_ih: [dirs, in_dim, 3H]   (xavier-uniform, model.py:63)
+      w_hh: [dirs, H, 3H]        (orthogonal, model.py:61)
+      b_ih, b_hh: [dirs, 3H]     (torch default U(-1/√H, 1/√H))
+    """
+    h = cfg.hidden_dim
+    d = cfg.num_dirs
+    bound = 1.0 / math.sqrt(h)
+    keys = jax.random.split(key, cfg.num_layers + 2)
+
+    layers = []
+    for li in range(cfg.num_layers):
+        in_dim = cfg.input_dim if li == 0 else h * d
+        lk = jax.random.split(keys[li], 4 * d)
+        w_ih = jnp.stack(
+            [xavier_uniform(lk[4 * i], (in_dim, 3 * h), cfg.dtype) for i in range(d)]
+        )
+        # torch stores weight_hh as [3H, H] and orthogonalizes that matrix;
+        # we keep [H, 3H] so init the transpose-orthogonal equivalent.
+        w_hh = jnp.stack(
+            [
+                orthogonal(lk[4 * i + 1], (3 * h, h)).T.astype(cfg.dtype)
+                for i in range(d)
+            ]
+        )
+        b_ih = jnp.stack(
+            [uniform_bound(lk[4 * i + 2], (3 * h,), bound, cfg.dtype) for i in range(d)]
+        )
+        b_hh = jnp.stack(
+            [uniform_bound(lk[4 * i + 3], (3 * h,), bound, cfg.dtype) for i in range(d)]
+        )
+        layers.append({"w_ih": w_ih, "w_hh": w_hh, "b_ih": b_ih, "b_hh": b_hh})
+
+    fc_w, fc_b = torch_linear_init(keys[-2], h * d, cfg.n_out, cfg.dtype)
+    return {
+        "day": init_day_affine(cfg.n_days, cfg.neural_dim, cfg.dtype),
+        "gru": {"layers": layers},
+        "fc": {"weight": fc_w, "bias": fc_b},
+    }
+
+
+def _gru_layer(
+    xp: jax.Array, w_hh: jax.Array, b_hh: jax.Array, h0: jax.Array
+) -> jax.Array:
+    """Run one (possibly bidirectional) GRU layer given precomputed input
+    projections.
+
+    Args:
+      xp: ``[L, D, B, 3H]`` input projections (+b_ih), direction 1 (if any)
+        already time-flipped.
+      w_hh: ``[D, H, 3H]``; b_hh: ``[D, 3H]``; h0: ``[D, B, H]``.
+
+    Returns: ``[L, D, B, H]`` hidden states per step (direction 1 still in
+    flipped time order).
+    """
+    hdim = h0.shape[-1]
+
+    def step(h, xp_t):
+        hp = jnp.einsum(
+            "dbh,dhk->dbk", h, w_hh, preferred_element_type=jnp.float32
+        ) + b_hh[:, None, :]
+        r = jax.nn.sigmoid(xp_t[..., :hdim] + hp[..., :hdim])
+        z = jax.nn.sigmoid(xp_t[..., hdim : 2 * hdim] + hp[..., hdim : 2 * hdim])
+        n = jnp.tanh(xp_t[..., 2 * hdim :] + r * hp[..., 2 * hdim :])
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
+
+    _, ys = jax.lax.scan(step, h0, xp)
+    return ys
+
+
+def gru_encode(
+    params: Params,
+    cfg: GRUConfig,
+    x: jax.Array,
+    *,
+    train: bool = False,
+    dropout_key: jax.Array | None = None,
+) -> jax.Array:
+    """Run the stacked GRU over pre-frontend features.
+
+    Args:
+      x: ``[B, T, C]`` smoothed/calibrated features (post day-affine +
+        Softsign). The unfold is fused into layer 0's projection.
+
+    Returns: ``[B, L, H·dirs]`` encoder states, L = (T-k)//s + 1.
+    """
+    b = x.shape[0]
+    h = cfg.hidden_dim
+    d = cfg.num_dirs
+    layers = params["gru"]["layers"]
+
+    out = None
+    for li, lp in enumerate(layers):
+        if li == 0:
+            # Fused unfold + input projection for all directions at once:
+            # weight [C*k, 3H*D] -> strided conv. Output [B, L, 3H*D].
+            w_cat = jnp.concatenate([lp["w_ih"][i] for i in range(d)], axis=-1)
+            xp = unfold_matmul(x, w_cat, cfg.kernel_len, cfg.stride_len)
+            xp = xp.reshape(b, -1, d, 3 * h)
+        else:
+            xp = jnp.einsum(
+                "blf,dfk->bldk", out, lp["w_ih"], preferred_element_type=jnp.float32
+            )
+        xp = xp + lp["b_ih"][None, None, :, :]
+        xp = jnp.transpose(xp, (1, 2, 0, 3))  # [L, D, B, 3H]
+        if d == 2:
+            xp = xp.at[:, 1].set(jnp.flip(xp[:, 1], axis=0))
+        h0 = jnp.zeros((d, b, h), xp.dtype)
+        ys = _gru_layer(xp, lp["w_hh"], lp["b_hh"], h0)  # [L, D, B, H]
+        if d == 2:
+            ys = ys.at[:, 1].set(jnp.flip(ys[:, 1], axis=0))
+        out = jnp.transpose(ys, (2, 0, 1, 3)).reshape(b, ys.shape[0], d * h)
+        if train and cfg.dropout > 0 and li < cfg.num_layers - 1:
+            assert dropout_key is not None
+            dk = jax.random.fold_in(dropout_key, li)
+            keep = jax.random.bernoulli(dk, 1.0 - cfg.dropout, out.shape)
+            out = jnp.where(keep, out / (1.0 - cfg.dropout), 0.0)
+    return out
+
+
+def gru_forward(
+    params: Params,
+    cfg: GRUConfig,
+    x: jax.Array,
+    day_idx: jax.Array,
+    *,
+    train: bool = False,
+    dropout_key: jax.Array | None = None,
+) -> jax.Array:
+    """Full forward pass: ``[B, T, C]`` features -> ``[B, L, n_classes+1]``
+    logits. Mirrors ``GRUDecoder.forward`` (model.py:83-123)."""
+    x = gaussian_smooth(x, cfg.gaussian_kernel_size, cfg.gaussian_smooth_width)
+    x = day_affine(params["day"], x, day_idx)
+    x = jax.nn.soft_sign(x)
+    enc = gru_encode(params, cfg, x, train=train, dropout_key=dropout_key)
+    return (
+        jnp.einsum("blh,hk->blk", enc, params["fc"]["weight"],
+                   preferred_element_type=jnp.float32)
+        + params["fc"]["bias"]
+    )
+
+
+def gru_output_length(cfg: GRUConfig, t: int) -> int:
+    return unfold_output_length(t, cfg.kernel_len, cfg.stride_len)

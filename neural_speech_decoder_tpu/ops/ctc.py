@@ -1,0 +1,85 @@
+"""CTC loss with reference-compatible semantics.
+
+The reference uses ``torch.nn.CTCLoss(blank=0, zero_infinity=True)`` with
+either ``reduction="mean"`` (GRU path) or ``reduction="none"`` followed by
+mean/sum at the call site (Conformer + label smoothing path)
+(``neural_decoder_trainer.py:133-141,213-248``).
+
+We build on ``optax.ctc_loss`` (a lax.scan forward algorithm that runs fully
+on-device) and add:
+  * ``zero_infinity`` semantics — torch zeroes the loss (and grads) of
+    infeasible alignments (label too long for the input length). optax
+    instead returns a huge finite value via ``log_epsilon``; we mask by the
+    exact CTC feasibility condition ``T >= U + n_repeats``.
+  * torch-style reductions: "mean" divides each sequence loss by its target
+    length before averaging over the batch; "sum" and "none" as in torch.
+
+Inputs are padded to static shapes (TPU requirement); padding is conveyed by
+lengths, converted to the padding indicators optax expects.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def _length_mask(lengths: jax.Array, max_len: int) -> jax.Array:
+    return jnp.arange(max_len)[None, :] < lengths[:, None]
+
+
+def ctc_feasible(
+    labels: jax.Array, label_lens: jax.Array, input_lens: jax.Array
+) -> jax.Array:
+    """True where a CTC alignment exists: T >= U + #(consecutive repeats)."""
+    u = labels.shape[1]
+    valid = _length_mask(label_lens, u)
+    rep = (labels[:, 1:] == labels[:, :-1]) & valid[:, 1:] & valid[:, :-1]
+    n_rep = jnp.sum(rep.astype(jnp.int32), axis=1)
+    return input_lens >= label_lens + n_rep
+
+
+def ctc_loss(
+    log_probs: jax.Array,
+    input_lens: jax.Array,
+    labels: jax.Array,
+    label_lens: jax.Array,
+    *,
+    blank_id: int = 0,
+    reduction: str = "mean",
+    zero_infinity: bool = True,
+) -> jax.Array:
+    """CTC negative log-likelihood.
+
+    Args:
+      log_probs: ``[B, T, K]`` log-probabilities (or logits — log_softmax is
+        idempotent so both are accepted, mirroring how the reference feeds
+        log-softmaxed values into a loss that tolerates them).
+      input_lens: ``[B]`` valid frames per sequence.
+      labels: ``[B, U]`` int labels, 0 = blank/pad (notebook cell 3's +1
+        offset convention).
+      label_lens: ``[B]`` valid label counts.
+      reduction: "mean" | "sum" | "none" with torch semantics ("mean"
+        divides per-sequence loss by target length, then batch-averages).
+
+    Returns: scalar for "mean"/"sum", ``[B]`` for "none".
+    """
+    t = log_probs.shape[1]
+    u = labels.shape[1]
+    logit_pad = 1.0 - _length_mask(input_lens, t).astype(log_probs.dtype)
+    label_pad = 1.0 - _length_mask(label_lens, u).astype(log_probs.dtype)
+    per_seq = optax.ctc_loss(
+        log_probs, logit_pad, labels, label_pad, blank_id=blank_id
+    )
+    if zero_infinity:
+        ok = ctc_feasible(labels, label_lens, input_lens)
+        per_seq = jnp.where(ok, per_seq, 0.0)
+    if reduction == "none":
+        return per_seq
+    if reduction == "sum":
+        return jnp.sum(per_seq)
+    if reduction == "mean":
+        denom = jnp.maximum(label_lens, 1).astype(per_seq.dtype)
+        return jnp.mean(per_seq / denom)
+    raise ValueError(f"unknown reduction: {reduction}")

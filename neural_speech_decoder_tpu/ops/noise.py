@@ -1,0 +1,36 @@
+"""Training-time noise augmentation, RNG-keyed and jit-fused.
+
+The reference adds, per train step on GPU (``neural_decoder_trainer.py:
+193-201``):
+  * white noise: ``X += randn(X.shape) * whiteNoiseSD`` (0.8)
+  * constant channel offset: ``X += randn([B, 1, C]) * constantOffsetSD`` (0.2)
+
+(The module-form ``WhiteNoise`` / ``MeanDriftNoise`` in the reference's
+``augmentations.py:8-25`` are never wired into training; the inline GPU
+version above is the effective behavior — reproduced here as one fused op.)
+
+In JAX these are explicit-key transforms folded into the jitted train step,
+so the noise generation runs on-TPU and fuses with the frontend.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def apply_noise(
+    key: jax.Array,
+    x: jax.Array,
+    white_noise_sd: float,
+    constant_offset_sd: float,
+) -> jax.Array:
+    """Apply white + constant-offset noise to ``[B, T, C]`` features."""
+    if white_noise_sd > 0:
+        key, k1 = jax.random.split(key)
+        x = x + jax.random.normal(k1, x.shape, x.dtype) * white_noise_sd
+    if constant_offset_sd > 0:
+        key, k2 = jax.random.split(key)
+        b, _, c = x.shape
+        x = x + jax.random.normal(k2, (b, 1, c), x.dtype) * constant_offset_sd
+    return x

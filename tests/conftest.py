@@ -1,0 +1,22 @@
+"""Test configuration: force an 8-virtual-device CPU platform.
+
+Multi-chip sharding tests run on a virtual CPU mesh (the TPU-native analog of
+a fake distributed backend — SURVEY.md §4(g)); all numerics tests run in
+float32 on CPU for determinism and torch-parity comparisons.
+
+Note: this environment pins ``JAX_PLATFORMS=axon`` (the TPU tunnel) via a
+site hook, so the platform must be overridden through ``jax.config`` rather
+than the environment variable.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
