@@ -1,0 +1,118 @@
+"""Static-shape batching for XLA.
+
+The reference pads each batch dynamically to its own max length
+(``neural_decoder_trainer.py:26-37``) — a recompile per shape under XLA.
+Here every batch is padded to a *fixed* ``[B, T_max, C]`` / ``[B, U_max]``
+envelope computed once from the dataset, so the train step compiles exactly
+once; validity is carried by lengths.
+
+Sampling semantics: the reference draws ``next(iter(trainLoader))`` from a
+freshly shuffled DataLoader every step (``neural_decoder_trainer.py:184``),
+i.e. each step sees one uniformly-random batch of distinct trials — NOT epoch
+semantics. ``sample_batch`` reproduces exactly that.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator
+
+import numpy as np
+
+from .dataset import PackedDataset
+
+
+@dataclasses.dataclass
+class Batch:
+    """One padded batch. ``weight`` masks padded (duplicated) eval rows."""
+
+    x: np.ndarray  # [B, T_max, C] float32, zero-padded
+    y: np.ndarray  # [B, U_max] int32
+    x_lens: np.ndarray  # [B] int32
+    y_lens: np.ndarray  # [B] int32
+    days: np.ndarray  # [B] int32
+    weight: np.ndarray  # [B] float32: 1 real row, 0 pad row
+
+
+def _gather(ds: PackedDataset, idx: np.ndarray, t_max: int, u_max: int,
+            weight: np.ndarray) -> Batch:
+    b = len(idx)
+    c = ds.n_channels
+    x = np.zeros((b, t_max, c), dtype=np.float32)
+    lens = ds.lengths[idx]
+    for j, i in enumerate(idx):
+        n = min(int(lens[j]), t_max)
+        x[j, :n] = ds.features[ds.offsets[i] : ds.offsets[i] + n]
+    y = np.zeros((b, u_max), dtype=np.int32)
+    width = min(u_max, ds.labels.shape[1])
+    y[:, :width] = ds.labels[idx][:, :width]
+    return Batch(
+        x=x,
+        y=y,
+        x_lens=np.minimum(lens, t_max).astype(np.int32),
+        y_lens=ds.label_lens[idx],
+        days=ds.days[idx],
+        weight=weight.astype(np.float32),
+    )
+
+
+def sample_batch(
+    ds: PackedDataset,
+    rng: np.random.Generator,
+    batch_size: int,
+    t_max: int,
+    u_max: int,
+) -> Batch:
+    """One uniformly-random batch of distinct trials (reference per-step
+    semantics)."""
+    idx = rng.choice(ds.n_trials, size=min(batch_size, ds.n_trials),
+                     replace=False)
+    if len(idx) < batch_size:  # tiny datasets: repeat to fill the envelope
+        pad = rng.choice(ds.n_trials, size=batch_size - len(idx), replace=True)
+        idx = np.concatenate([idx, pad])
+    return _gather(ds, idx, t_max, u_max, np.ones(batch_size))
+
+
+def eval_batches(
+    ds: PackedDataset, batch_size: int, t_max: int, u_max: int
+) -> Iterator[Batch]:
+    """Sequential full-coverage iterator; the final partial batch is padded
+    to the static batch size with repeated rows carrying weight 0."""
+    n = ds.n_trials
+    for start in range(0, n, batch_size):
+        idx = np.arange(start, min(start + batch_size, n))
+        weight = np.ones(batch_size)
+        if len(idx) < batch_size:
+            weight[len(idx):] = 0.0
+            idx = np.concatenate(
+                [idx, np.zeros(batch_size - len(idx), dtype=idx.dtype)]
+            )
+        yield _gather(ds, idx, t_max, u_max, weight)
+
+
+def round_up(x: int, multiple: int) -> int:
+    return ((x + multiple - 1) // multiple) * multiple
+
+
+def choose_envelope(
+    train: PackedDataset,
+    test: PackedDataset | None = None,
+    *,
+    time_multiple: int = 128,
+    max_time: int | None = None,
+) -> tuple[int, int]:
+    """Pick the static (T_max, U_max) envelope.
+
+    T is rounded up to a lane-friendly multiple so downstream unfold frames
+    tile well on the MXU; ``max_time`` mirrors the reference's
+    ``maxTimeSeriesLen`` arg (scripts/train_model.py:14).
+    """
+    t = train.max_len
+    u = int(train.label_lens.max()) if train.n_trials else 1
+    if test is not None and test.n_trials:
+        t = max(t, test.max_len)
+        u = max(u, int(test.label_lens.max()))
+    t = round_up(t, time_multiple)
+    if max_time is not None:
+        t = min(t, max_time)
+    return t, max(u, 1)

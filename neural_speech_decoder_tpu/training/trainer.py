@@ -1,0 +1,414 @@
+"""Training/eval loop with the reference's ``trainModel(args)`` surface.
+
+Reproduces the observable semantics of the reference trainer
+(``neural_decoder_trainer.py:61-387``): per-step uniformly-random batches,
+GRU or Conformer model selection via ``args["model_type"]``, CTC loss with
+the reference's reduction/label-smoothing/InterCTC blending, Adam+LinearLR
+or AdamW+warmup-cosine, eval every 100 steps (summed CTC loss + greedy PER),
+best-on-CER checkpointing, and identical metric names.
+
+TPU-first redesign:
+  * one jitted, buffer-donated train step over static shapes — compiles once;
+  * augmentation RNG is explicit (``jax.random`` keys folded per step),
+    replacing torch global RNG;
+  * data-parallel batch sharding over a ``jax.sharding.Mesh`` when multiple
+    devices are visible (the reference is single-device only);
+  * eval decode is a batched on-device op; only edit distance runs on host;
+  * checkpoints carry full train state (params+opt+step) via Orbax, with the
+    reference's ``args``/``trainingStats`` artifact contract preserved.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from functools import partial
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.batching import Batch, choose_envelope, eval_batches, sample_batch
+from ..data.dataset import PackedDataset, load_pickle_dataset, pack_days
+from ..models.gru import GRUConfig, gru_forward, init_gru_params
+from ..ops.ctc import ctc_loss
+from ..ops.decode import batch_per, greedy_decode
+from ..ops.noise import apply_noise
+from ..ops.unfold import ctc_input_lengths
+from ..parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from ..utils.logging import MetricLogger
+from .checkpoints import CheckpointManager, save_args, save_training_stats
+from .optim import make_optimizer
+
+
+class ModelAPI(NamedTuple):
+    """Uniform model interface for the trainer.
+
+    forward(params, x, day_idx, x_lens, train, key) ->
+        (log_probs [B, T', K], out_lens [B], inter_log_probs or None)
+    """
+
+    name: str
+    config: Any
+    init: Callable[[jax.Array], Any]
+    forward: Callable[..., tuple]
+
+
+def build_model(args: dict, n_days: int) -> ModelAPI:
+    """Model selection mirroring ``neural_decoder_trainer.py:84-119``."""
+    model_type = args.get("model_type", "gru_baseline")
+    if model_type == "transformer_ctc":
+        from ..models.conformer import (
+            ConformerConfig,
+            conformer_forward,
+            init_conformer_params,
+        )
+
+        cfg = ConformerConfig(
+            n_channels=args["nInputFeatures"],
+            n_classes=args["nClasses"],
+            n_days=n_days,
+            frontend_dim=args.get("frontend_dim", 1024),
+            latent_dim=args.get("latent_dim", 1024),
+            autoencoder_hidden_dim=args.get("autoencoder_hidden_dim", 512),
+            num_layers=args.get("transformer_num_layers", 8),
+            num_heads=args.get("transformer_n_heads", 8),
+            ff_dim=args.get("transformer_dim_ff", 2048),
+            dropout=args.get("transformer_dropout", 0.3),
+            temporal_kernel=args.get("temporal_kernel", 32),
+            temporal_stride=args.get("temporal_stride", 4),
+            gaussian_smooth_width=args.get("gaussian_smooth_width", 2.0),
+            conv_kernel=args.get("conformer_conv_kernel", 31),
+            use_spec_augment=args.get("use_spec_augment", True),
+            spec_augment_freq_mask=args.get("spec_augment_freq_mask", 100),
+            spec_augment_time_mask=args.get("spec_augment_time_mask", 40),
+            drop_path_prob=args.get("drop_path_prob", 0.1),
+        )
+
+        def forward(params, x, day_idx, x_lens, *, train, key):
+            return conformer_forward(
+                params, cfg, x, day_idx, x_lens, train=train, key=key
+            )
+
+        return ModelAPI(
+            "transformer_ctc", cfg, partial(init_conformer_params, cfg=cfg), forward
+        )
+
+    cfg = GRUConfig(
+        neural_dim=args["nInputFeatures"],
+        n_classes=args["nClasses"],
+        hidden_dim=args["nUnits"],
+        num_layers=args["nLayers"],
+        n_days=n_days,
+        dropout=args["dropout"],
+        stride_len=args["strideLen"],
+        kernel_len=args["kernelLen"],
+        gaussian_smooth_width=args["gaussianSmoothWidth"],
+        bidirectional=args["bidirectional"],
+    )
+
+    def forward(params, x, day_idx, x_lens, *, train, key):
+        logits = gru_forward(
+            params, cfg, x, day_idx, train=train, dropout_key=key
+        )
+        out_lens = ctc_input_lengths(x_lens, cfg.kernel_len, cfg.stride_len)
+        out_lens = jnp.clip(out_lens, 0, logits.shape[1])
+        return jax.nn.log_softmax(logits, axis=-1), out_lens, None
+
+    def init(key):
+        return init_gru_params(key, cfg)
+
+    return ModelAPI("gru_baseline", cfg, init, forward)
+
+
+def _loss_and_metrics(args: dict, model: ModelAPI, params, batch_arrays, key):
+    """Training loss with the reference's blending semantics
+    (neural_decoder_trainer.py:212-248)."""
+    x, y, x_lens, y_lens, days = batch_arrays
+    k_noise, k_model = jax.random.split(key)
+    x = apply_noise(
+        k_noise, x, args["whiteNoiseSD"], args["constantOffsetSD"]
+    )
+    log_probs, out_lens, inter_log_probs = model.forward(
+        params, x, days, x_lens, train=True, key=k_model
+    )
+    label_smoothing = args.get("label_smoothing", 0.0)
+    n_classes = args["nClasses"] + 1
+    metrics = {}
+
+    if label_smoothing > 0:
+        per_seq = ctc_loss(log_probs, out_lens, y, y_lens, reduction="none")
+        ctc = jnp.mean(per_seq)
+        # KL(log_probs || uniform) over ALL frames incl. padding, batchmean —
+        # exactly the reference's torch.nn.functional.kl_div call (:238-240).
+        uni = -math.log(n_classes)
+        kl = jnp.sum((1.0 / n_classes) * (uni - log_probs)) / log_probs.shape[0]
+        main_loss = (1 - label_smoothing) * ctc + label_smoothing * kl
+        metrics["train/ctc_loss"] = ctc
+        metrics["train/kl_loss"] = kl
+    else:
+        main_loss = ctc_loss(log_probs, out_lens, y, y_lens, reduction="mean")
+
+    if inter_log_probs is not None:
+        inter_per_seq = ctc_loss(
+            inter_log_probs, out_lens, y, y_lens, reduction="none"
+        )
+        inter = (
+            jnp.mean(inter_per_seq) if label_smoothing > 0 else jnp.sum(inter_per_seq)
+        )
+        w = args.get("interctc_weight", 0.3)
+        loss = (1.0 - w) * main_loss + w * inter
+        metrics["train/inter_ctc_loss"] = inter
+        metrics["train/main_loss"] = main_loss
+    else:
+        loss = main_loss
+    metrics["train/loss"] = loss
+    return loss, metrics
+
+
+def make_train_step(args: dict, model: ModelAPI, tx) -> Callable:
+    log_grad_norm = args.get("model_type", "gru_baseline") == "transformer_ctc"
+
+    @partial(jax.jit, donate_argnums=0)
+    def train_step(state, x, y, x_lens, y_lens, days, key):
+        def loss_fn(p):
+            return _loss_and_metrics(
+                args, model, p, (x, y, x_lens, y_lens, days), key
+            )
+
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(state["params"])
+        if log_grad_norm:
+            # torch clip_grad_norm_ returns the pre-clip norm (:257,270).
+            metrics["train/grad_norm"] = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
+        params = optax.apply_updates(state["params"], updates)
+        new_state = {
+            "params": params,
+            "opt_state": opt_state,
+            "step": state["step"] + 1,
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: ModelAPI) -> Callable:
+    @jax.jit
+    def eval_step(params, x, y, x_lens, y_lens, days):
+        log_probs, out_lens, _ = model.forward(
+            params, x, days, x_lens, train=False, key=None
+        )
+        per_seq = ctc_loss(log_probs, out_lens, y, y_lens, reduction="none")
+        tokens, dec_lens = greedy_decode(log_probs, out_lens)
+        return per_seq, tokens, dec_lens
+
+    return eval_step
+
+
+def run_eval(
+    eval_step,
+    params,
+    test_ds: PackedDataset,
+    batch_size: int,
+    t_max: int,
+    u_max: int,
+    *,
+    torch_mean_semantics: bool,
+    device_put: Callable[[Batch], tuple],
+) -> tuple[float, float, int, int]:
+    """Full test pass. Returns (avg_day_loss, per, edit_dist, seq_len).
+
+    ``avg_day_loss`` follows the reference: per-batch scalar (mean over rows
+    for the GRU/no-smoothing path, sum for the label-smoothing path), then
+    averaged over batches (``neural_decoder_trainer.py:303-310,332``).
+    """
+    batch_scalars = []
+    total_dist = 0
+    total_len = 0
+    for batch in eval_batches(test_ds, batch_size, t_max, u_max):
+        arrays = device_put(batch)
+        per_seq, tokens, dec_lens = eval_step(params, *arrays)
+        per_seq = np.asarray(per_seq)
+        w = batch.weight
+        if torch_mean_semantics:
+            norm = per_seq / np.maximum(batch.y_lens, 1)
+            scalar = float((norm * w).sum() / max(w.sum(), 1))
+        else:
+            scalar = float((per_seq * w).sum())
+        batch_scalars.append(scalar)
+        real = w > 0
+        d, l = batch_per(
+            np.asarray(tokens)[real],
+            np.asarray(dec_lens)[real],
+            batch.y[real],
+            batch.y_lens[real],
+        )
+        total_dist += d
+        total_len += l
+    avg_day_loss = float(np.sum(batch_scalars) / max(len(batch_scalars), 1))
+    per = total_dist / max(total_len, 1)
+    return avg_day_loss, per, total_dist, total_len
+
+
+def train_model(args: dict) -> dict:
+    """Train per the reference contract; returns a summary dict."""
+    output_dir = args["outputDir"]
+    save_args(output_dir, {k: v for k, v in args.items() if k != "dataset"})
+    seed = int(args.get("seed", 0))
+    np_rng = np.random.default_rng(seed)
+    base_key = jax.random.key(seed)
+
+    logger = MetricLogger(
+        output_dir,
+        project=args.get("wandb_project", "neural-speech-decoder"),
+        run_name=args.get("wandb_run_name"),
+        config={k: v for k, v in args.items() if k != "dataset"},
+        mode=args.get("wandb_mode", "offline"),
+    )
+
+    raw = args.get("dataset") or load_pickle_dataset(args["datasetPath"])
+    train_ds = pack_days(raw["train"])
+    test_ds = pack_days(raw["test"])
+    n_days = len(raw["train"])
+
+    batch_size = int(args["batchSize"])
+    t_max, u_max = choose_envelope(
+        train_ds,
+        test_ds,
+        time_multiple=int(args.get("time_multiple", 128)),
+        max_time=args.get("maxTimeSeriesLen"),
+    )
+
+    model = build_model(args, n_days)
+    params = model.init(base_key)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"Model has {n_params:,} parameters ({n_params:,} trainable)")
+    logger.log(
+        {"model/total_parameters": n_params, "model/trainable_parameters": n_params},
+        step=0,
+    )
+
+    tx, schedule = make_optimizer(args)
+    state = {"params": params, "opt_state": tx.init(params), "step": jnp.array(0)}
+
+    # Data-parallel mesh when >1 device; single-device otherwise.
+    devices = jax.devices()
+    n_data = args.get("n_data_devices") or len(devices)
+    n_data = max(d for d in range(1, n_data + 1) if batch_size % d == 0)
+    mesh = make_mesh(n_data=n_data, n_model=1, devices=devices[:n_data])
+    b_shard = batch_sharding(mesh)
+    r_shard = replicated_sharding(mesh)
+    state = jax.device_put(state, r_shard)
+
+    def device_put_batch(batch: Batch):
+        return tuple(
+            jax.device_put(a, b_shard)
+            for a in (batch.x, batch.y, batch.x_lens, batch.y_lens, batch.days)
+        )
+
+    train_step = make_train_step(args, model, tx)
+    eval_step = make_eval_step(model)
+    torch_mean = args.get("label_smoothing", 0.0) == 0
+
+    n_batch = int(args["nBatch"])
+    eval_every = int(args.get("evalEvery", 100))
+    ckpt = CheckpointManager(output_dir)
+    compat_skip_first = bool(args.get("compat_skip_first_eval_save", False))
+
+    test_loss: list[float] = []
+    test_cer: list[float] = []
+    start_time = time.time()
+    for step in range(n_batch):
+        batch = sample_batch(train_ds, np_rng, batch_size, t_max, u_max)
+        key = jax.random.fold_in(base_key, step)
+        state, metrics = train_step(state, *device_put_batch(batch), key)
+
+        lr = float(schedule(step))
+        log_dict = {k: float(v) for k, v in metrics.items()}
+        log_dict["train/learning_rate"] = lr
+        log_dict["train/batch"] = step
+        logger.log(log_dict, step=step)
+
+        if step % eval_every == 0:
+            avg_loss, cer, edit_dist, seq_len = run_eval(
+                eval_step,
+                state["params"],
+                test_ds,
+                batch_size,
+                t_max,
+                u_max,
+                torch_mean_semantics=torch_mean,
+                device_put=device_put_batch,
+            )
+            time_per_batch = (time.time() - start_time) / eval_every
+            print(
+                f"batch {step}, ctc loss: {avg_loss:>7f}, cer: {cer:>7f}, "
+                f"time/batch: {time_per_batch:>7.3f}"
+            )
+            start_time = time.time()
+            logger.log(
+                {
+                    "eval/loss": avg_loss,
+                    "eval/cer": cer,
+                    "eval/time_per_batch": time_per_batch,
+                    "eval/edit_distance": edit_dist,
+                    "eval/sequence_length": seq_len,
+                },
+                step=step,
+            )
+            # Best-on-CER checkpoint (reference :352-358; first-eval fixed).
+            prev_best = np.min(test_cer) if test_cer else np.inf
+            should_save = cer < prev_best and not (compat_skip_first and not test_cer)
+            if should_save:
+                ckpt.save("modelState", state)
+                logger.log({"eval/best_cer": cer}, step=step)
+                print(f"  → New best model saved! CER: {cer:.6f}")
+            test_loss.append(avg_loss)
+            test_cer.append(cer)
+            save_training_stats(output_dir, test_loss, test_cer)
+
+    ckpt.save("lastState", state)
+    final_cer = test_cer[-1] if test_cer else float("inf")
+    best_cer = float(np.min(test_cer)) if test_cer else float("inf")
+    summary = {
+        "summary/final_cer": final_cer,
+        "summary/best_cer": best_cer,
+        "summary/final_loss": test_loss[-1] if test_loss else float("inf"),
+        "summary/best_loss": float(np.min(test_loss)) if test_loss else float("inf"),
+    }
+    logger.log(summary)
+    logger.finish()
+    print(f"\n{'=' * 60}")
+    print("Training completed!")
+    print(f"Final CER: {final_cer:.6f}")
+    print(f"Best CER: {best_cer:.6f}")
+    print(f"{'=' * 60}\n")
+    return summary
+
+
+def load_model(model_dir: str, n_input_layers: int | None = None):
+    """Rebuild a trained model from a run directory.
+
+    Equivalent of ``loadModel`` (``neural_decoder_trainer.py:390-410``) but
+    supports both model families (the reference loader only rebuilds the
+    GRU) and restores from the best-CER Orbax checkpoint. ``n_input_layers``
+    overrides the day count like the reference's ``nInputLayers`` arg.
+    """
+    from .checkpoints import load_args
+
+    args = load_args(model_dir)
+    n_days = n_input_layers or args.get("nDays", 24)
+    model = build_model(args, n_days)
+    params = model.init(jax.random.key(int(args.get("seed", 0))))
+    ckpt = CheckpointManager(model_dir)
+    name = "modelState" if ckpt.exists("modelState") else "lastState"
+    tx, _ = make_optimizer(args)
+    template = {
+        "params": params,
+        "opt_state": tx.init(params),
+        "step": jnp.array(0),
+    }
+    state = ckpt.restore(name, template)
+    return state["params"], model, args
