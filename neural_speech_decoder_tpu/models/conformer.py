@@ -1,0 +1,384 @@
+"""Conformer CTC encoder — the framework's second model family.
+
+Capability parity with the reference ``NeuralTransformerCTCModel``
+(``transformer_ctc.py:333-501``): per-day affine → NeuralFrontend (9-tap
+Gaussian smooth, depthwise strided conv k=32/s=4, linear projection + LN +
+dropout) → MLP bottleneck → SpecAugment (train) → sinusoidal positional
+encoding → N ConformerBlocks (half-step FFs, MHSA with key-padding mask,
+depthwise conv module, DropPath) → deep classification head, with an
+intermediate CTC tap at layer N/2 during training.
+
+TPU-first notes:
+  * everything is batch-first ``[B, T, D]`` with static shapes; the padding
+    mask is positions ≥ out_len, identical to the reference's
+    ``key_padding_mask`` construction (``transformer_ctc.py:479-483``);
+  * attention uses a large-negative additive mask (exactly 0 attention after
+    softmax underflow for valid rows) instead of -inf so fully-padded rows
+    degrade to uniform attention rather than NaN — reference behavior for
+    valid rows, NaN-free for padding rows;
+  * dropout/drop-path/SpecAugment are explicit-key functional transforms;
+  * matmuls run in bf16-friendly einsums with f32 accumulation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.day_affine import day_affine, init_day_affine
+from ..ops.gaussian import conformer_kernel_size, gaussian_smooth
+from ..ops.specaugment import spec_augment
+from .common import torch_linear_init, xavier_uniform
+
+Params = dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class ConformerConfig:
+    n_channels: int = 256
+    n_classes: int = 40  # excl. blank
+    n_days: int = 24
+    frontend_dim: int = 1024
+    latent_dim: int = 1024
+    autoencoder_hidden_dim: int = 512
+    num_layers: int = 8
+    num_heads: int = 8
+    ff_dim: int = 2048
+    dropout: float = 0.3
+    temporal_kernel: int = 32
+    temporal_stride: int = 4
+    gaussian_smooth_width: float = 2.0
+    conv_kernel: int = 31
+    use_spec_augment: bool = True
+    spec_augment_freq_mask: int = 100
+    spec_augment_time_mask: int = 40
+    drop_path_prob: float = 0.1
+    head_dropout: float = 0.3  # deep head (transformer_ctc.py:423)
+    max_pos_len: int = 5000
+    dtype: Any = jnp.float32
+
+    @property
+    def n_out(self) -> int:
+        return self.n_classes + 1
+
+    @property
+    def use_interctc(self) -> bool:
+        return self.num_layers >= 6  # transformer_ctc.py:411
+
+    @property
+    def interctc_layer(self) -> int:
+        return self.num_layers // 2
+
+
+def _init_ln(dim, dtype):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def _layer_norm(p, x, eps=1e-5):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _init_linear(key, din, dout, dtype):
+    w, b = torch_linear_init(key, din, dout, dtype)
+    return {"w": w, "b": b}
+
+
+def _linear(p, x):
+    return (
+        jnp.einsum("...d,dk->...k", x, p["w"], preferred_element_type=jnp.float32)
+        .astype(x.dtype)
+        + p["b"]
+    )
+
+
+def _init_ff(key, d, ff, dtype):
+    k1, k2 = jax.random.split(key)
+    return {
+        "ln": _init_ln(d, dtype),
+        "lin1": _init_linear(k1, d, ff, dtype),
+        "lin2": _init_linear(k2, ff, d, dtype),
+    }
+
+
+def _init_attn(key, d, dtype):
+    kq, ko = jax.random.split(key)
+    return {
+        "ln": _init_ln(d, dtype),
+        # torch MHA: xavier in_proj, zero biases (in_proj + out_proj).
+        "in_proj_w": xavier_uniform(kq, (d, 3 * d), dtype, fan_in=d, fan_out=3 * d),
+        "in_proj_b": jnp.zeros((3 * d,), dtype),
+        "out": {
+            "w": torch_linear_init(ko, d, d, dtype)[0],
+            "b": jnp.zeros((d,), dtype),
+        },
+    }
+
+
+def _init_conv_module(key, d, kernel, dtype):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    bound = 1.0 / math.sqrt(kernel)  # torch depthwise Conv1d default init
+    return {
+        "ln": _init_ln(d, dtype),
+        "pw1": _init_linear(k1, d, 2 * d, dtype),
+        "dw_w": jax.random.uniform(k2, (kernel, d), dtype, -bound, bound),
+        "dw_b": jax.random.uniform(k3, (d,), dtype, -bound, bound),
+        "ln_conv": _init_ln(d, dtype),
+        "pw2": _init_linear(k4, d, d, dtype),
+    }
+
+
+def _init_block(key, cfg: ConformerConfig):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    d = cfg.latent_dim
+    return {
+        "ff1": _init_ff(k1, d, cfg.ff_dim, cfg.dtype),
+        "attn": _init_attn(k2, d, cfg.dtype),
+        "conv": _init_conv_module(k3, d, cfg.conv_kernel, cfg.dtype),
+        "ff2": _init_ff(k4, d, cfg.ff_dim, cfg.dtype),
+        "ln_final": _init_ln(d, cfg.dtype),
+    }
+
+
+def init_conformer_params(key: jax.Array, *, cfg: ConformerConfig) -> Params:
+    keys = jax.random.split(key, cfg.num_layers + 6)
+    c, f, d = cfg.n_channels, cfg.frontend_dim, cfg.latent_dim
+    params: Params = {
+        "day": init_day_affine(cfg.n_days, c, cfg.dtype),
+        "frontend": {
+            # depthwise strided conv, constant 1/k init, no bias
+            # (transformer_ctc.py:81-90)
+            "tconv_w": jnp.full(
+                (cfg.temporal_kernel, c), 1.0 / cfg.temporal_kernel, cfg.dtype
+            ),
+            "proj": _init_linear(keys[0], c, f, cfg.dtype),
+            "ln": _init_ln(f, cfg.dtype),
+        },
+        "bottleneck": {
+            "lin1": _init_linear(keys[1], f, cfg.autoencoder_hidden_dim, cfg.dtype),
+            "lin2": _init_linear(keys[2], cfg.autoencoder_hidden_dim, d, cfg.dtype),
+        },
+        "blocks": [
+            _init_block(keys[3 + i], cfg) for i in range(cfg.num_layers)
+        ],
+        "head": {
+            "lin1": _init_linear(keys[-3], d, d, cfg.dtype),
+            "ln": _init_ln(d, cfg.dtype),
+            "lin2": _init_linear(keys[-2], d, cfg.n_out, cfg.dtype),
+        },
+    }
+    if cfg.use_interctc:
+        params["inter_out"] = _init_linear(keys[-1], d, cfg.n_out, cfg.dtype)
+    return params
+
+
+def sinusoidal_pos_encoding(max_len: int, d_model: int, dtype=jnp.float32):
+    """Standard sinusoidal table (transformer_ctc.py:315-323)."""
+    position = np.arange(max_len, dtype=np.float32)[:, None]
+    div = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32) * (-math.log(10000.0) / d_model)
+    )
+    pe = np.zeros((max_len, d_model), dtype=np.float32)
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return jnp.asarray(pe, dtype)
+
+
+def _dropout(key, x, rate, train):
+    if not train or rate <= 0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
+def _drop_path(key, x, prob, train):
+    """Per-sample stochastic depth (transformer_ctc.py:9-23)."""
+    if not train or prob <= 0:
+        return x
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    keep = jax.random.bernoulli(key, 1.0 - prob, shape)
+    return jnp.where(keep, x / (1.0 - prob), 0.0)
+
+
+def _ff_module(p, x, key, dropout, train):
+    k1, k2 = (jax.random.split(key) if key is not None else (None, None))
+    h = _linear(p["lin1"], _layer_norm(p["ln"], x))
+    h = jax.nn.silu(h)
+    h = _dropout(k1, h, dropout, train)
+    h = _linear(p["lin2"], h)
+    return _dropout(k2, h, dropout, train)
+
+
+def _attention(p, x, pad_mask, key, num_heads, dropout, train):
+    """MHSA with key-padding mask (torch nn.MultiheadAttention semantics)."""
+    b, t, d = x.shape
+    dh = d // num_heads
+    xn = _layer_norm(p["ln"], x)
+    qkv = (
+        jnp.einsum("btd,dk->btk", xn, p["in_proj_w"],
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+        + p["in_proj_b"]
+    )
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(z):
+        return z.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    scores = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) / math.sqrt(dh)
+    if pad_mask is not None:  # pad_mask: [B, T] True = padding
+        scores = jnp.where(pad_mask[:, None, None, :], -1e9, scores)
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    if key is not None:
+        probs = _dropout(key, probs, dropout, train)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                     preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return _linear(p["out"], out)
+
+
+def _conv_module(p, x, key, dropout, train):
+    """Conformer conv module incl. residual (transformer_ctc.py:148-191)."""
+    residual = x
+    h = _layer_norm(p["ln"], x)
+    h = _linear(p["pw1"], h)  # [B, T, 2D]
+    a, g = jnp.split(h, 2, axis=-1)
+    h = a * jax.nn.sigmoid(g)  # GLU
+    # Depthwise conv along time, 'same' padding (odd kernel).
+    kernel = p["dw_w"][:, None, :]  # [k, 1, D]
+    pad = p["dw_w"].shape[0] // 2
+    h = jax.lax.conv_general_dilated(
+        h,
+        kernel.astype(h.dtype),
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NTC", "TIO", "NTC"),
+        feature_group_count=h.shape[-1],
+    ) + p["dw_b"]
+    h = _layer_norm(p["ln_conv"], h)
+    h = jax.nn.silu(h)
+    h = _linear(p["pw2"], h)
+    h = _dropout(key, h, dropout, train)
+    return residual + h
+
+
+def _block(p, cfg: ConformerConfig, x, pad_mask, key, train):
+    if key is not None:
+        keys = jax.random.split(key, 8)
+    else:
+        keys = [None] * 8
+    x = x + _drop_path(
+        keys[0], 0.5 * _ff_module(p["ff1"], x, keys[1], cfg.dropout, train),
+        cfg.drop_path_prob, train,
+    )
+    attn = _attention(
+        p["attn"], x, pad_mask, keys[2], cfg.num_heads, cfg.dropout, train
+    )
+    attn = _dropout(keys[3], attn, cfg.dropout, train)
+    x = x + _drop_path(keys[4], attn, cfg.drop_path_prob, train)
+    x = _conv_module(p["conv"], x, keys[5], cfg.dropout, train)
+    x = x + _drop_path(
+        keys[6], 0.5 * _ff_module(p["ff2"], x, keys[7], cfg.dropout, train),
+        cfg.drop_path_prob, train,
+    )
+    return _layer_norm(p["ln_final"], x)
+
+
+def conformer_frontend(params, cfg: ConformerConfig, x, key, train):
+    """Gaussian smooth → depthwise strided conv → project/LN/dropout
+    (transformer_ctc.py:105-128)."""
+    if cfg.gaussian_smooth_width > 0:
+        ks = conformer_kernel_size(cfg.gaussian_smooth_width)
+        x = gaussian_smooth(
+            x, ks, cfg.gaussian_smooth_width, padding=(ks // 2, ks // 2)
+        )
+    if cfg.temporal_kernel > 0:
+        kernel = params["frontend"]["tconv_w"][:, None, :]  # [k, 1, C]
+        x = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(cfg.temporal_stride,),
+            padding=[(0, 0)],
+            dimension_numbers=("NTC", "TIO", "NTC"),
+            feature_group_count=x.shape[-1],
+        )
+    x = _linear(params["frontend"]["proj"], x)
+    x = _layer_norm(params["frontend"]["ln"], x)
+    return _dropout(key, x, cfg.dropout, train)
+
+
+def conformer_output_lengths(cfg: ConformerConfig, x_lens, actual_len):
+    """(len - k) // s clamped to the realized frame count
+    (transformer_ctc.py:431-440)."""
+    if cfg.temporal_kernel > 0 and cfg.temporal_stride > 1:
+        out = ((x_lens - cfg.temporal_kernel) // cfg.temporal_stride).astype(
+            jnp.int32
+        )
+    else:
+        out = x_lens.astype(jnp.int32)
+    return jnp.clip(out, None, actual_len)
+
+
+def conformer_forward(
+    params: Params,
+    cfg: ConformerConfig,
+    x: jax.Array,
+    day_idx: jax.Array,
+    x_lens: jax.Array | None = None,
+    *,
+    train: bool = False,
+    key: jax.Array | None = None,
+):
+    """Full forward (transformer_ctc.py:442-501), batch-first.
+
+    Returns (log_probs [B, T', K], out_lens [B], inter_log_probs or None).
+    """
+    if train and key is None:
+        raise ValueError("train=True requires an RNG key")
+    keys = jax.random.split(key, cfg.num_layers + 4) if key is not None else None
+
+    x = day_affine(params["day"], x, day_idx)
+    z = conformer_frontend(
+        params, cfg, x, keys[0] if keys is not None else None, train
+    )
+    z = _linear(params["bottleneck"]["lin2"],
+                jax.nn.relu(_linear(params["bottleneck"]["lin1"], z)))
+    if cfg.use_spec_augment and train:
+        z = spec_augment(
+            keys[1],
+            z,
+            freq_mask_param=cfg.spec_augment_freq_mask,
+            time_mask_param=cfg.spec_augment_time_mask,
+        )
+    t_actual = z.shape[1]
+    pe = sinusoidal_pos_encoding(cfg.max_pos_len, cfg.latent_dim, z.dtype)
+    z = z + pe[:t_actual]
+
+    if x_lens is not None:
+        out_lens = conformer_output_lengths(cfg, x_lens, t_actual)
+        pad_mask = jnp.arange(t_actual)[None, :] >= out_lens[:, None]
+    else:
+        out_lens = jnp.full((x.shape[0],), t_actual, jnp.int32)
+        pad_mask = None
+
+    inter_log_probs = None
+    for i, bp in enumerate(params["blocks"]):
+        bk = keys[3 + i] if keys is not None else None
+        z = _block(bp, cfg, z, pad_mask, bk, train)
+        if cfg.use_interctc and i == cfg.interctc_layer - 1 and train:
+            inter_logits = _linear(params["inter_out"], z)
+            inter_log_probs = jax.nn.log_softmax(inter_logits, axis=-1)
+
+    h = _linear(params["head"]["lin1"], z)
+    h = jax.nn.gelu(_layer_norm(params["head"]["ln"], h), approximate=False)
+    h = _dropout(keys[2] if keys is not None else None, h, cfg.head_dropout, train)
+    logits = _linear(params["head"]["lin2"], h)
+    return jax.nn.log_softmax(logits, axis=-1), out_lens, inter_log_probs
