@@ -1,0 +1,107 @@
+"""Benchmark: reference-scale GRU-CTC training throughput on one TPU chip.
+
+Measures full training-step throughput (forward + CTC + backward + Adam) at
+the reference baseline configuration (``scripts/train_model.py:4-31``):
+B=64, 256 channels, 5-layer bidirectional GRU H=1024, unfold k=32/s=4,
+Gaussian smoothing, noise augmentation — on synthetic reference-shaped data
+padded to the static T=1280 envelope (maxTimeSeriesLen 1200 rounded up).
+
+Prints ONE JSON line:
+  {"metric": "train_seq_per_s", "value": N, "unit": "seq/s",
+   "vs_baseline": R}
+
+``vs_baseline`` compares against an estimated 500 seq/s for the reference
+PyTorch implementation on one A100 (the reference publishes no numbers —
+BASELINE.md; estimate from cuDNN GRU FLOP throughput at this shape).
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+A100_BASELINE_SEQ_PER_S = 500.0  # documented estimate; see module docstring
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from neural_speech_decoder_tpu.training.optim import make_optimizer
+    from neural_speech_decoder_tpu.training.trainer import (
+        build_model,
+        make_train_step,
+    )
+
+    args = {
+        "model_type": "gru_baseline",
+        "nInputFeatures": 256,
+        "nClasses": 40,
+        "nUnits": 1024,
+        "nLayers": 5,
+        "dropout": 0.4,
+        "strideLen": 4,
+        "kernelLen": 32,
+        "gaussianSmoothWidth": 2.0,
+        "bidirectional": True,
+        "whiteNoiseSD": 0.8,
+        "constantOffsetSD": 0.2,
+        "lrStart": 0.02,
+        "lrEnd": 0.02,
+        "l2_decay": 1e-5,
+        "nBatch": 10000,
+        "seed": 0,
+    }
+    b, t, u = 64, 1280, 64
+    model = build_model(args, n_days=24)
+    params = model.init(jax.random.key(0))
+    tx, _ = make_optimizer(args)
+    state = {
+        "params": params,
+        "opt_state": tx.init(params),
+        "step": jnp.array(0),
+    }
+    train_step = make_train_step(args, model, tx)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, t, 256)), dtype=jnp.float32)
+    y = jnp.asarray(rng.integers(1, 41, size=(b, u)), dtype=jnp.int32)
+    x_lens = jnp.asarray(
+        rng.integers(400, t + 1, size=(b,)), dtype=jnp.int32
+    )
+    y_lens = jnp.asarray(rng.integers(20, u + 1, size=(b,)), dtype=jnp.int32)
+    days = jnp.asarray(rng.integers(0, 24, size=(b,)), dtype=jnp.int32)
+    key = jax.random.key(0)
+
+    # Warmup: compile + 2 steps. NOTE: block via a host transfer (float()),
+    # not block_until_ready — the latter is a no-op through the experimental
+    # axon TPU tunnel and yields bogus timings.
+    for i in range(3):
+        state, metrics = train_step(state, x, y, x_lens, y_lens, days, key)
+        float(metrics["train/loss"])
+
+    n_steps = 10
+    start = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = train_step(state, x, y, x_lens, y_lens, days, key)
+    float(metrics["train/loss"])
+    elapsed = time.perf_counter() - start
+
+    seq_per_s = b * n_steps / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "train_seq_per_s",
+                "value": round(seq_per_s, 2),
+                "unit": "seq/s",
+                "vs_baseline": round(seq_per_s / A100_BASELINE_SEQ_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
