@@ -54,6 +54,7 @@ def main() -> None:
         "l2_decay": 1e-5,
         "nBatch": 10000,
         "seed": 0,
+        "compute_dtype": "bfloat16",
     }
     b, t, u = 64, 1280, 64
     model = build_model(args, n_days=24)

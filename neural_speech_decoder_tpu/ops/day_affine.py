@@ -34,7 +34,7 @@ def day_affine(params: dict, x: jax.Array, day_idx: jax.Array) -> jax.Array:
 
     Returns: ``[B, T, D]``.
     """
-    w = jnp.take(params["weight"], day_idx, axis=0)  # [B, D, D]
-    b = jnp.take(params["bias"], day_idx, axis=0)  # [B, D]
-    y = jnp.einsum("btd,bdk->btk", x, w, preferred_element_type=x.dtype)
-    return y + b[:, None, :]
+    w = jnp.take(params["weight"], day_idx, axis=0).astype(x.dtype)  # [B,D,D]
+    b = jnp.take(params["bias"], day_idx, axis=0).astype(x.dtype)  # [B,D]
+    y = jnp.einsum("btd,bdk->btk", x, w, preferred_element_type=jnp.float32)
+    return (y + b[:, None, :].astype(jnp.float32)).astype(x.dtype)

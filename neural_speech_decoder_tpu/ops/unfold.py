@@ -78,6 +78,9 @@ def unfold_matmul(
     c = x.shape[-1]
     o = weight.shape[-1]
     k_conv = weight.reshape(c, kernel, o).transpose(1, 0, 2)  # [k, C, O]
+    # Output dtype follows x: the TPU conv accumulates in f32 on the MXU
+    # internally even for bf16 operands, and a uniform dtype keeps the VJP
+    # convs (which swap operands/cotangents) well-typed.
     return jax.lax.conv_general_dilated(
         x,
         k_conv.astype(x.dtype),
@@ -85,5 +88,4 @@ def unfold_matmul(
         padding=[(0, 0)],
         dimension_numbers=("NTC", "TIO", "NTC"),
         precision=precision,
-        preferred_element_type=jnp.float32,
     )

@@ -107,6 +107,7 @@ def build_model(args: dict, n_days: int) -> ModelAPI:
         kernel_len=args["kernelLen"],
         gaussian_smooth_width=args["gaussianSmoothWidth"],
         bidirectional=args["bidirectional"],
+        compute_dtype=jnp.dtype(args.get("compute_dtype", "float32")),
     )
 
     def forward(params, x, day_idx, x_lens, *, train, key):
