@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from ..ops.day_affine import day_affine, init_day_affine
 from ..ops.gaussian import gaussian_smooth
+from ..ops.pallas.gru_scan import gru_sequence
 from ..ops.unfold import unfold_matmul, unfold_output_length
 from .common import orthogonal, torch_linear_init, uniform_bound, xavier_uniform
 
@@ -55,6 +56,9 @@ class GRUConfig:
     gaussian_smooth_width: float = 2.0
     gaussian_kernel_size: int = 20  # fixed in the reference (model.py:40-42)
     bidirectional: bool = True
+    # Recurrence implementation: None = auto (Pallas kernel on TPU when
+    # shapes are tile-aligned, lax.scan custom-VJP path otherwise).
+    use_pallas: bool | None = None
     dtype: Any = jnp.float32  # parameter dtype
     # Activation/matmul dtype. bfloat16 feeds the MXU at full rate with f32
     # accumulation (preferred_element_type) — ~2-3x train throughput on TPU
@@ -265,8 +269,16 @@ def gru_encode(
         xp = jnp.transpose(xp, (1, 2, 0, 3))  # [L, D, B, 3H]
         if d == 2:
             xp = xp.at[:, 1].set(jnp.flip(xp[:, 1], axis=0))
-        h0 = jnp.zeros((d, b, h), xp.dtype)
-        ys = _gru_layer(xp, lp["w_hh"], lp["b_hh"], h0)  # [L, D, B, H]
+        use_pallas = cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = (
+                jax.default_backend() == "tpu" and h % 128 == 0 and b % 16 == 0
+            )
+        if use_pallas:
+            ys = gru_sequence(xp, lp["w_hh"], lp["b_hh"])  # [L, D, B, H]
+        else:
+            h0 = jnp.zeros((d, b, h), xp.dtype)
+            ys = _gru_layer(xp, lp["w_hh"], lp["b_hh"], h0)  # [L, D, B, H]
         if d == 2:
             ys = ys.at[:, 1].set(jnp.flip(ys[:, 1], axis=0))
         out = jnp.transpose(ys, (2, 0, 1, 3)).reshape(b, ys.shape[0], d * h)

@@ -1,0 +1,203 @@
+"""Pallas TPU kernel: full GRU-layer time scan with VMEM-resident weights.
+
+Motivation (measured on v5e at reference scale, B=64, H=1024, L=312):
+the XLA ``lax.scan`` recurrence spends ~19 us/step because the ``[H, 3H]``
+recurrent weight (6 MB bf16 per direction) is re-fetched from HBM on every
+step. This kernel pins the weight block in VMEM for the whole sequence
+(the BlockSpec index map depends only on the direction axis, so the Pallas
+pipeline never re-fetches it), streams the per-step input projections
+``xp_t`` in and hidden states out through the auto-double-buffered pipeline,
+and keeps the carried hidden state in a VMEM scratch accumulator in float32.
+
+Grid: ``(D, L)`` — directions outer, time inner (TPU iterates the last grid
+axis fastest), so the hidden-state scratch resets at ``l == 0`` of each
+direction and the weight block swaps only once.
+
+The backward kernel walks time in reverse via index maps ``l -> L-1-l``,
+carries only ``dh`` (f32 scratch), recomputes the gates (one extra matmul
+per step instead of three stored activation tensors round-tripping HBM),
+and emits per-step gate grads; the ``dW_hh`` contraction then runs as one
+large XLA matmul outside the kernel. Same structure as the pure-JAX custom
+VJP in ``models/gru.py``, which remains the CPU/fallback path and the
+correctness oracle for these kernels.
+
+Gate math (torch nn.GRU conventions, gate order r,z,n — model.py:50-57):
+  r = sigmoid(x_r + h W_r + b_r);  z = sigmoid(x_z + h W_z + b_z)
+  n = tanh(x_n + r * (h W_n + b_n));  h' = (1-z) n + z h
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(xp_ref, w_ref, b_ref, ys_ref, h_ref):
+    hdim = h_ref.shape[-1]
+    l = pl.program_id(1)
+
+    @pl.when(l == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    h = h_ref[:]  # [B, H] float32 carry
+    w = w_ref[0]  # [H, 3H], resident in VMEM across the whole direction
+    hp = (
+        jnp.dot(h.astype(w.dtype), w, preferred_element_type=jnp.float32)
+        + b_ref[0, 0].astype(jnp.float32)
+    )
+    xp_t = xp_ref[0, 0].astype(jnp.float32)  # [B, 3H]
+    r = jax.nn.sigmoid(xp_t[:, :hdim] + hp[:, :hdim])
+    z = jax.nn.sigmoid(xp_t[:, hdim : 2 * hdim] + hp[:, hdim : 2 * hdim])
+    n = jnp.tanh(xp_t[:, 2 * hdim :] + r * hp[:, 2 * hdim :])
+    h_new = (1.0 - z) * n + z * h
+    h_ref[:] = h_new
+    ys_ref[0, 0] = h_new.astype(ys_ref.dtype)
+
+
+def _bwd_kernel(
+    xp_ref, ys_ref, dys_ref, w_ref, wt_ref, b_ref, dhp_ref, dan_ref, dh_ref
+):
+    """Reverse-time step. Outputs per-step gate grads ``dhp`` plus ``da_n``
+    (the only third in which dxp differs from dhp; dxp is reassembled
+    outside). ``wt`` is the pre-transposed weight so the ``dhp @ W^T``
+    product is a plain MXU matmul — contracting the second dim of a
+    VMEM-resident W would re-transpose 6 MB every step (~2x kernel time)."""
+    hdim = dh_ref.shape[-1]
+    l = pl.program_id(1)  # 0 .. L-1, but blocks are index-mapped to L-1-l
+
+    @pl.when(l == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+
+    w = w_ref[0]
+    # h_{t-1}: block index-mapped to max(t-1, 0); zero at t == 0.
+    n_l = pl.num_programs(1)
+    is_first_step = l == n_l - 1  # reversed walk: t == 0
+    hprev = jnp.where(is_first_step, 0.0, ys_ref[0, 0].astype(jnp.float32))
+    dh_tot = dh_ref[:] + dys_ref[0, 0].astype(jnp.float32)
+
+    hp = (
+        jnp.dot(hprev.astype(w.dtype), w, preferred_element_type=jnp.float32)
+        + b_ref[0, 0].astype(jnp.float32)
+    )
+    xp_t = xp_ref[0, 0].astype(jnp.float32)
+    r = jax.nn.sigmoid(xp_t[:, :hdim] + hp[:, :hdim])
+    z = jax.nn.sigmoid(xp_t[:, hdim : 2 * hdim] + hp[:, hdim : 2 * hdim])
+    hp_n = hp[:, 2 * hdim :]
+    n = jnp.tanh(xp_t[:, 2 * hdim :] + r * hp_n)
+
+    dz = dh_tot * (hprev - n)
+    dn = dh_tot * (1.0 - z)
+    da_n = dn * (1.0 - n * n)
+    dr = da_n * hp_n
+    da_z = dz * z * (1.0 - z)
+    da_r = dr * r * (1.0 - r)
+    dhp_n = da_n * r
+    dhp = jnp.concatenate([da_r, da_z, dhp_n], axis=-1).astype(dhp_ref.dtype)
+    dhp_ref[0, 0] = dhp
+    dan_ref[0, 0] = da_n.astype(dan_ref.dtype)
+    # dh_{t-1} = dh_t * z + dhp @ W^T
+    dh_ref[:] = dh_tot * z + jnp.dot(
+        dhp.astype(wt_ref.dtype), wt_ref[0], preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def gru_sequence(xp, w_hh, b_hh, interpret=False):
+    """GRU layer over a full sequence, zero initial state.
+
+    Args:
+      xp: ``[L, D, B, 3H]`` precomputed input projections (+ b_ih); the
+        backward direction (D=1), if present, must already be time-flipped.
+      w_hh: ``[D, H, 3H]``; b_hh: ``[D, 3H]``.
+      interpret: run in the Pallas interpreter (CPU tests).
+
+    Returns: ``[L, D, B, H]`` hidden states (backward direction still in
+    flipped time order). Semantics identical to ``models.gru._gru_layer``
+    with ``h0 = 0`` (the reference's detached zero h0, model.py:104-119).
+    """
+    return _forward(xp, w_hh, b_hh, interpret)
+
+
+def _forward(xp, w_hh, b_hh, interpret):
+    length, d, b, three_h = xp.shape
+    h = three_h // 3
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid=(d, length),
+        in_specs=[
+            pl.BlockSpec((1, 1, b, three_h), lambda di, li: (li, di, 0, 0)),
+            pl.BlockSpec((1, h, three_h), lambda di, li: (di, 0, 0)),
+            pl.BlockSpec((1, 1, three_h), lambda di, li: (di, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, b, h), lambda di, li: (li, di, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((length, d, b, h), xp.dtype),
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp, w_hh.astype(xp.dtype), b_hh[:, None, :])
+
+
+def _backward(xp, w_hh, b_hh, ys, dys, interpret):
+    length, d, b, three_h = xp.shape
+    h = three_h // 3
+    rev = lambda di, li: (length - 1 - li, di, 0, 0)  # walk time backwards
+    # h_{t-1} lives at ys[t-1]; clamp at t==0 (kernel zeroes that step).
+    rev_prev = lambda di, li: (jnp.maximum(length - 1 - li - 1, 0), di, 0, 0)
+    w_c = w_hh.astype(xp.dtype)
+    wt_c = jnp.transpose(w_c, (0, 2, 1))
+    dhp, dan = pl.pallas_call(
+        _bwd_kernel,
+        grid=(d, length),
+        in_specs=[
+            pl.BlockSpec((1, 1, b, three_h), rev),
+            pl.BlockSpec((1, 1, b, h), rev_prev),
+            pl.BlockSpec((1, 1, b, h), rev),
+            pl.BlockSpec((1, h, three_h), lambda di, li: (di, 0, 0)),
+            pl.BlockSpec((1, three_h, h), lambda di, li: (di, 0, 0)),
+            pl.BlockSpec((1, 1, three_h), lambda di, li: (di, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, b, three_h), rev),
+            pl.BlockSpec((1, 1, b, h), rev),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((length, d, b, three_h), xp.dtype),
+            jax.ShapeDtypeStruct((length, d, b, h), xp.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(xp, ys, dys, w_c, wt_c, b_hh[:, None, :])
+    # dxp shares its first two thirds (da_r, da_z) with dhp; the n-third is
+    # da_n rather than da_n * r.
+    dxp = jnp.concatenate([dhp[..., : 2 * h], dan], axis=-1)
+    return dhp, dxp
+
+
+def _gru_sequence_fwd(xp, w_hh, b_hh, interpret):
+    ys = _forward(xp, w_hh, b_hh, interpret)
+    return ys, (xp, w_hh, b_hh, ys)
+
+
+def _gru_sequence_bwd(interpret, res, dys):
+    xp, w_hh, b_hh, ys = res
+    dhp, dxp = _backward(xp, w_hh, b_hh, ys, dys, interpret)
+    # dW_hh = sum_t h_{t-1} (x) dhp_t; h_{-1} = 0 drops the t=0 term.
+    dw = jnp.einsum(
+        "ldbh,ldbk->dhk", ys[:-1], dhp[1:], preferred_element_type=jnp.float32
+    ).astype(w_hh.dtype)
+    db = jnp.sum(dhp.astype(jnp.float32), axis=(0, 2)).astype(b_hh.dtype)
+    return dxp, dw, db
+
+
+gru_sequence.defvjp(_gru_sequence_fwd, _gru_sequence_bwd)
