@@ -1,0 +1,256 @@
+"""Lexicon-constrained CTC prefix beam search with n-gram LM (Python).
+
+This is the reference ("oracle") implementation of the decode semantics the
+native C++ engine (``csrc/ctc_beam.cpp``) accelerates; both replace the
+upstream Kaldi/OpenFST ``LanguageModelDecoder`` used by the reference at
+``eval_competition.py:88-116``.
+
+Semantics:
+  * input: per-frame log-probabilities ``[T, K]`` with blank at index 0 and
+    SIL at index 40 (the framework's label convention);
+  * acoustic scores are scaled by ``acoustic_scale`` and the blank log-prob
+    is reduced by ``blank_penalty`` (matching the reference's
+    ``acoustic_scale=0.5``, ``blankPenalty=log 7`` hyperparameters);
+  * beam expansions are constrained to pronunciations in the lexicon trie;
+    SIL is the word delimiter: expanding SIL at a trie node that completes
+    one or more words commits each candidate word (branching over
+    homophones) and applies the LM increment ``log P(w | history)``;
+  * n-best output is ranked by ``acoustic + lm_weight * lm`` with an
+    optional per-word insertion penalty.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..data.phonemes import phone_to_id
+from .lexicon import ArpaLM, Lexicon, TrieNode
+
+SIL_ID = phone_to_id("SIL") + 1  # 40
+NEG_INF = -1e30
+
+
+def _logsum(a: float, b: float) -> float:
+    if a < b:
+        a, b = b, a
+    if b <= NEG_INF:
+        return a
+    return a + math.log1p(math.exp(b - a))
+
+
+@dataclass
+class _State:
+    phones: tuple[int, ...] = ()
+    words: tuple[int, ...] = ()
+    node: TrieNode | None = None  # current trie position (None = no lexicon)
+    lm: float = 0.0
+    p_b: float = NEG_INF  # ends in blank
+    p_nb: float = NEG_INF  # ends in non-blank
+
+    def total(self) -> float:
+        return _logsum(self.p_b, self.p_nb)
+
+
+@dataclass
+class Hypothesis:
+    phones: list[int]
+    words: list[str]
+    score: float  # combined
+    ac_score: float
+    lm_score: float
+
+
+def beam_search(
+    log_probs: np.ndarray,
+    *,
+    lexicon: Lexicon | None = None,
+    lm: ArpaLM | None = None,
+    acoustic_scale: float = 0.5,
+    blank_penalty: float = 0.0,
+    lm_weight: float = 1.0,
+    word_insertion_penalty: float = 0.0,
+    beam: float = 18.0,
+    max_active: int = 200,
+    nbest: int = 10,
+    top_k_tokens: int = 12,
+) -> list[Hypothesis]:
+    """Decode one utterance. ``log_probs``: [T, K], blank at 0."""
+    lp = np.asarray(log_probs, np.float64) * acoustic_scale
+    lp[:, 0] -= blank_penalty
+    t_max, k = lp.shape
+    root = lexicon.root if lexicon is not None else None
+
+    init = _State(node=root, p_b=0.0)
+    states: dict[tuple, _State] = {_key(init): init}
+
+    bos = (lm.vocab["<s>"],) if lm is not None and "<s>" in lm.vocab else ()
+
+    for t in range(t_max):
+        frame = lp[t]
+        # candidate tokens this frame (pruning)
+        order = np.argsort(frame)[::-1][:top_k_tokens]
+        nxt: dict[tuple, _State] = {}
+
+        def upd(key_state: _State, *, pb=NEG_INF, pnb=NEG_INF):
+            kk = _key(key_state)
+            cur = nxt.get(kk)
+            if cur is None:
+                nxt[kk] = key_state
+                key_state.p_b = pb
+                key_state.p_nb = pnb
+            else:
+                cur.p_b = _logsum(cur.p_b, pb)
+                cur.p_nb = _logsum(cur.p_nb, pnb)
+
+        for s in states.values():
+            tot = s.total()
+            last = s.phones[-1] if s.phones else -1
+            # 1. blank
+            upd(
+                _State(s.phones, s.words, s.node, s.lm),
+                pb=tot + frame[0],
+            )
+            for c in order:
+                c = int(c)
+                if c == 0:
+                    continue
+                # 2. repeat of last phone (stays same prefix)
+                if c == last:
+                    upd(
+                        _State(s.phones, s.words, s.node, s.lm),
+                        pnb=s.p_nb + frame[c],
+                    )
+                    src = s.p_b  # extension only from blank-ended mass
+                else:
+                    src = tot
+                if src <= NEG_INF:
+                    continue
+                # 3. extension with phone c
+                if root is None:
+                    upd(
+                        _State(s.phones + (c,), s.words, None, s.lm),
+                        pnb=src + frame[c],
+                    )
+                    continue
+                if c == SIL_ID:
+                    at_root = s.node is root
+                    if at_root:
+                        # inter/leading silence, no word commit
+                        upd(
+                            _State(s.phones + (c,), s.words, root, s.lm),
+                            pnb=src + frame[c],
+                        )
+                    elif s.node.words:
+                        for wid in s.node.words:
+                            lm_inc = 0.0
+                            if lm is not None:
+                                hist = bos + tuple(
+                                    lm.word_id(lexicon.words[w])
+                                    for w in s.words
+                                )
+                                lm_inc = lm.score(
+                                    hist, lm.word_id(lexicon.words[wid])
+                                )
+                            upd(
+                                _State(
+                                    s.phones + (c,),
+                                    s.words + (wid,),
+                                    root,
+                                    s.lm + lm_inc,
+                                ),
+                                pnb=src + frame[c],
+                            )
+                    # mid-word SIL with no completed word: disallowed
+                else:
+                    child = s.node.children.get(c)
+                    if child is not None:
+                        upd(
+                            _State(s.phones + (c,), s.words, child, s.lm),
+                            pnb=src + frame[c],
+                        )
+        # prune: score beam + max_active
+        scored = sorted(
+            nxt.values(),
+            key=lambda s: s.total() + lm_weight * s.lm
+            + word_insertion_penalty * len(s.words),
+            reverse=True,
+        )
+        if scored:
+            best = (
+                scored[0].total()
+                + lm_weight * scored[0].lm
+                + word_insertion_penalty * len(scored[0].words)
+            )
+            scored = [
+                s
+                for s in scored
+                if s.total() + lm_weight * s.lm
+                + word_insertion_penalty * len(s.words)
+                > best - beam
+            ]
+        states = {_key(s): s for s in scored[:max_active]}
+
+    # finalize: commit trailing complete words without SIL; add </s>.
+    finals: list[Hypothesis] = []
+    for s in states.values():
+        if root is None or s.node is root:
+            cands = [s]
+        elif s.node.words:  # mid-trie but at a word end: commit each reading
+            cands = []
+            for wid in s.node.words:
+                lm_inc = 0.0
+                if lm is not None:
+                    hist = bos + tuple(
+                        lm.word_id(lexicon.words[w]) for w in s.words
+                    )
+                    lm_inc = lm.score(hist, lm.word_id(lexicon.words[wid]))
+                cands.append(
+                    _State(s.phones, s.words + (wid,), root, s.lm + lm_inc,
+                           p_b=s.p_b, p_nb=s.p_nb)
+                )
+        else:  # incomplete word: not a valid final
+            continue
+        for c in cands:
+            lm_total = c.lm
+            if lm is not None and "</s>" in lm.vocab:
+                hist = bos + tuple(
+                    lm.word_id(lexicon.words[w]) for w in c.words
+                )
+                lm_total += lm.score(hist, lm.vocab["</s>"])
+            ac = c.total()
+            score = (
+                ac
+                + lm_weight * lm_total
+                + word_insertion_penalty * len(c.words)
+            )
+            finals.append(
+                Hypothesis(
+                    phones=list(c.phones),
+                    words=[lexicon.words[w] for w in c.words]
+                    if lexicon is not None
+                    else [],
+                    score=score,
+                    ac_score=ac,
+                    lm_score=lm_total,
+                )
+            )
+    finals.sort(key=lambda h: h.score, reverse=True)
+    # dedup identical word sequences (keep best-scoring)
+    seen = set()
+    out = []
+    for h in finals:
+        key = (tuple(h.phones), tuple(h.words))
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append(h)
+        if len(out) >= nbest:
+            break
+    return out
+
+
+def _key(s: _State) -> tuple:
+    return (s.phones, s.words, id(s.node))

@@ -1,0 +1,220 @@
+"""Competition evaluation pipeline: model -> beam+LM decode -> LLM rescore.
+
+A working re-design of the reference ``scripts/eval_competition.py`` (which
+is stale as checked in: dead imports, a 4-arg legacy loader call, and a
+``for i, testDayIdx in testDayIdxs:`` missing ``enumerate`` — SURVEY.md §2.1
+"treat as intent-documentation"). Behavior preserved:
+  * competition partition day indices [4,5,6,7,8,9,10,12,13,14,15,16,18,19,20]
+    (``eval_competition.py:45-47``),
+  * transcription cleanup regex (``:76-78``),
+  * decode hyperparameters: acoustic_scale 0.5, blank penalty ln 7,
+    beam 18, nbest 100, LLM alpha 0.5 (``:95-98,110-116,127-137``),
+  * artifacts: ``llm_out`` pickle + ``5gramLLMCompetitionSubmission.txt``
+    (``:142-148``).
+
+Improvements: batched on-TPU forward per day instead of per-trial batch-1
+CPU loops (``:51-66``); supports both model families; the decoder is the
+in-repo native engine instead of an out-of-repo Kaldi build.
+
+Usage:
+    python -m neural_speech_decoder_tpu.decoding.eval_competition \\
+        --modelPath RUN_DIR --datasetPath PICKLE --lexicon LEX --lm ARPA
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+import pickle
+import re
+import time
+
+import numpy as np
+
+COMPETITION_DAY_IDXS = [4, 5, 6, 7, 8, 9, 10, 12, 13, 14, 15, 16, 18, 19, 20]
+
+
+def clean_transcription(text: str) -> str:
+    text = str(text).strip()
+    text = re.sub(r"[^a-zA-Z\- \']", "", text)
+    return text.replace("--", "").lower()
+
+
+def collect_model_outputs(model_path, dataset_path=None, dataset=None,
+                          partition="competition", batch_size=16):
+    """Run the trained model over the partition; returns the reference's
+    ``rnn_outputs`` structure (logits, logitLengths, trueSeqs,
+    transcriptions)."""
+    import jax.numpy as jnp
+
+    from ..data.batching import choose_envelope, eval_batches
+    from ..data.dataset import load_pickle_dataset, pack_days
+    from ..training.trainer import load_model
+
+    raw = dataset if dataset is not None else load_pickle_dataset(dataset_path)
+    params, model, args = load_model(model_path, len(raw["train"]))
+
+    day_list = raw[partition]
+    n_train_days = len(raw["train"])
+    if (
+        partition == "competition"
+        and max(COMPETITION_DAY_IDXS[: len(day_list)], default=0)
+        < n_train_days
+    ):
+        # Reference mapping: competition hold-out days index into the full
+        # 24-day training calendar (eval_competition.py:45-47). Only valid
+        # when the model actually has those day slots.
+        day_idxs = COMPETITION_DAY_IDXS[: len(day_list)]
+    else:
+        day_idxs = list(range(len(day_list)))
+
+    outputs = {
+        "logits": [],
+        "logitLengths": [],
+        "trueSeqs": [],
+        "transcriptions": [],
+    }
+    for pos, true_day in zip(range(len(day_list)), day_idxs):
+        ds = pack_days([day_list[pos]])
+        t_max, u_max = choose_envelope(ds, time_multiple=128)
+        for batch in eval_batches(ds, batch_size, t_max, u_max):
+            days = np.full_like(batch.days, true_day)
+            log_probs, out_lens, _ = model.forward(
+                params,
+                jnp.asarray(batch.x),
+                jnp.asarray(days),
+                jnp.asarray(batch.x_lens),
+                train=False,
+                key=None,
+            )
+            log_probs = np.asarray(log_probs)
+            out_lens = np.asarray(out_lens)
+            for i in range(len(batch.weight)):
+                if batch.weight[i] == 0:
+                    continue
+                outputs["logits"].append(log_probs[i, : out_lens[i]])
+                outputs["logitLengths"].append(int(out_lens[i]))
+                outputs["trueSeqs"].append(
+                    np.asarray(batch.y[i, : batch.y_lens[i]])
+                )
+        for tr in day_list[pos]["transcriptions"]:
+            outputs["transcriptions"].append(clean_transcription(tr))
+    return outputs
+
+
+def run_pipeline(
+    outputs: dict,
+    *,
+    lexicon_path: str | None,
+    arpa_path: str | None,
+    acoustic_scale: float = 0.5,
+    blank_penalty: float = math.log(7),
+    nbest: int = 100,
+    beam: float = 18.0,
+    lm_weight: float = 1.0,
+    llm_scorer=None,
+    alpha: float = 0.5,
+    length_penalty: float = 0.0,
+    return_ci: bool = True,
+    verbose: bool = True,
+) -> dict:
+    """Beam+LM decode each utterance, rescore n-best, compute WER/CER/PER."""
+    from ..ops.decode import edit_distance
+    from .lm_decoder import build_lm_decoder, lm_decode
+    from .rescore import evaluate_transcripts, rescore_nbest
+
+    decoder = build_lm_decoder(
+        lexicon_path, arpa_path, acoustic_scale, nbest, beam,
+        lm_weight=lm_weight,
+    )
+    start = time.time()
+    nbest_lists = []
+    for lp in outputs["logits"]:
+        nbest_lists.append(
+            lm_decode(decoder, lp, blank_penalty=blank_penalty)
+        )
+    per_sample = (time.time() - start) / max(len(outputs["logits"]), 1)
+    if verbose:
+        print(f"beam decoding took {per_sample:.4f} seconds per sample")
+
+    # Phoneme error rate of the top hypothesis (pre-rescore).
+    dist = total = 0
+    for nb, true_seq in zip(nbest_lists, outputs["trueSeqs"]):
+        hyp = nb[0].phones if nb else []
+        dist += edit_distance(np.asarray(true_seq), np.asarray(hyp))
+        total += len(true_seq)
+    per = dist / max(total, 1)
+
+    decoded = rescore_nbest(
+        nbest_lists, llm_scorer, alpha=alpha, length_penalty=length_penalty
+    )
+    result = evaluate_transcripts(
+        outputs["transcriptions"], decoded, return_ci=return_ci
+    )
+    return {
+        "cer": result.cer,
+        "wer": result.wer,
+        "per": per,
+        "cer_ci": result.cer_ci,
+        "wer_ci": result.wer_ci,
+        "decoded_transcripts": result.decoded_transcripts,
+        "nbest": nbest_lists,
+        "decode_seconds_per_sample": per_sample,
+    }
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--modelPath", required=True)
+    parser.add_argument("--datasetPath", required=True)
+    parser.add_argument("--partition", default="competition")
+    parser.add_argument("--lexicon", default=None)
+    parser.add_argument("--lm", default=None, help="ARPA LM path")
+    parser.add_argument("--llmPath", default=None,
+                        help="local HF causal-LM checkpoint for rescoring")
+    parser.add_argument("--acousticScale", type=float, default=0.5)
+    parser.add_argument("--blankPenalty", type=float, default=math.log(7))
+    parser.add_argument("--nbest", type=int, default=100)
+    parser.add_argument("--beam", type=float, default=18.0)
+    parser.add_argument("--alpha", type=float, default=0.5)
+    args = parser.parse_args()
+
+    outputs = collect_model_outputs(
+        args.modelPath, args.datasetPath, partition=args.partition
+    )
+    llm_scorer = None
+    if args.llmPath:
+        from .rescore import hf_causal_scorer
+
+        llm_scorer = hf_causal_scorer(args.llmPath)
+    elif args.lm:
+        from .lexicon import ArpaLM
+        from .rescore import ngram_scorer
+
+        llm_scorer = ngram_scorer(ArpaLM.from_file(args.lm))
+
+    result = run_pipeline(
+        outputs,
+        lexicon_path=args.lexicon,
+        arpa_path=args.lm,
+        acoustic_scale=args.acousticScale,
+        blank_penalty=args.blankPenalty,
+        nbest=args.nbest,
+        beam=args.beam,
+        llm_scorer=llm_scorer,
+        alpha=args.alpha,
+    )
+    print(result["cer"], result["wer"])
+    out = {k: v for k, v in result.items() if k != "nbest"}
+    with open(os.path.join(args.modelPath, "llm_out"), "wb") as f:
+        pickle.dump(out, f)
+    with open(
+        os.path.join(args.modelPath, "5gramLLMCompetitionSubmission.txt"), "w"
+    ) as f:
+        for line in result["decoded_transcripts"]:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,213 @@
+"""ctypes interface to the native CTC beam decoder (csrc/ctc_beam.cpp).
+
+API mirrors the surface the reference uses from the upstream
+``lmDecoderUtils`` (``eval_competition.py:88-116``):
+  * ``build_lm_decoder(lang_dir_or_paths, acoustic_scale, nbest, beam)``
+  * ``lm_decode(decoder, logits, blankPenalty=..., returnNBest=...)``
+plus ``rearrange_speech_logits`` for the blank-last layout conversion.
+
+The shared library builds on demand with the in-image toolchain (`make -C
+csrc`); when unavailable the pure-Python oracle (``decoding/beam.py``)
+serves as a fallback with identical semantics.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from dataclasses import dataclass
+
+import numpy as np
+
+from .beam import Hypothesis, beam_search
+from .lexicon import ArpaLM, Lexicon
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LIB_PATH = os.path.abspath(os.path.join(_CSRC, "libctcbeam.so"))
+
+
+def _load_lib():
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_CSRC)],
+                check=True,
+                capture_output=True,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.ctcb_create.restype = ctypes.c_void_p
+    lib.ctcb_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_float, ctypes.c_int,
+        ctypes.c_float, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int,
+    ]
+    lib.ctcb_decode.restype = ctypes.c_int
+    lib.ctcb_decode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_float,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.ctcb_free.argtypes = [ctypes.c_void_p]
+    return lib
+
+
+_LIB = None
+_LIB_TRIED = False
+
+
+def native_available() -> bool:
+    global _LIB, _LIB_TRIED
+    if not _LIB_TRIED:
+        _LIB = _load_lib()
+        _LIB_TRIED = True
+    return _LIB is not None
+
+
+@dataclass
+class LMDecoder:
+    handle: int | None  # native handle (None = Python fallback)
+    lexicon_path: str | None
+    arpa_path: str | None
+    acoustic_scale: float
+    nbest: int
+    beam: float
+    max_active: int
+    lm_weight: float
+    word_ins_penalty: float
+    top_k_tokens: int
+    _py_lexicon: Lexicon | None = None
+    _py_lm: ArpaLM | None = None
+
+    def __del__(self):  # pragma: no cover
+        try:
+            if self.handle and _LIB is not None:
+                _LIB.ctcb_free(ctypes.c_void_p(self.handle))
+        except Exception:
+            pass  # interpreter shutdown: ctypes internals may be gone
+
+
+def build_lm_decoder(
+    lexicon_path: str | None = None,
+    arpa_path: str | None = None,
+    acoustic_scale: float = 0.5,
+    nbest: int = 100,
+    beam: float = 18.0,
+    *,
+    max_active: int = 200,
+    lm_weight: float = 1.0,
+    word_ins_penalty: float = 0.0,
+    top_k_tokens: int = 12,
+    force_python: bool = False,
+) -> LMDecoder:
+    """Create a decoder. Parameter names/defaults mirror the reference call
+    ``build_lm_decoder(lmDir, acoustic_scale=0.5, nbest=100, beam=18)``."""
+    handle = None
+    if not force_python and native_available():
+        handle = _LIB.ctcb_create(
+            lexicon_path.encode() if lexicon_path else None,
+            arpa_path.encode() if arpa_path else None,
+            acoustic_scale, nbest, beam, max_active, lm_weight,
+            word_ins_penalty, top_k_tokens,
+        )
+        if not handle:
+            raise RuntimeError(
+                f"native decoder failed to load {lexicon_path} / {arpa_path}"
+            )
+    dec = LMDecoder(
+        handle=handle,
+        lexicon_path=lexicon_path,
+        arpa_path=arpa_path,
+        acoustic_scale=acoustic_scale,
+        nbest=nbest,
+        beam=beam,
+        max_active=max_active,
+        lm_weight=lm_weight,
+        word_ins_penalty=word_ins_penalty,
+        top_k_tokens=top_k_tokens,
+    )
+    if handle is None:
+        dec._py_lexicon = (
+            Lexicon.from_file(lexicon_path) if lexicon_path else None
+        )
+        dec._py_lm = ArpaLM.from_file(arpa_path) if arpa_path else None
+    return dec
+
+
+def lm_decode(
+    decoder: LMDecoder,
+    log_probs: np.ndarray,
+    *,
+    blank_penalty: float = 0.0,
+    return_nbest: bool = True,
+) -> list[Hypothesis]:
+    """Decode one utterance's ``[T, K]`` log-probs (blank at index 0)."""
+    lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+    t, k = lp.shape
+    if decoder.handle is None:
+        hyps = beam_search(
+            lp,
+            lexicon=decoder._py_lexicon,
+            lm=decoder._py_lm,
+            acoustic_scale=decoder.acoustic_scale,
+            blank_penalty=blank_penalty,
+            lm_weight=decoder.lm_weight,
+            word_insertion_penalty=decoder.word_ins_penalty,
+            beam=decoder.beam,
+            max_active=decoder.max_active,
+            nbest=decoder.nbest,
+            top_k_tokens=decoder.top_k_tokens,
+        )
+        return hyps if return_nbest else hyps[:1]
+
+    n = decoder.nbest
+    out_phones = np.zeros((n, t), np.int32)
+    out_lens = np.zeros((n,), np.int32)
+    words_buf = ctypes.create_string_buffer(4 << 20)
+    scores = np.zeros((n,), np.float32)
+    ac = np.zeros((n,), np.float32)
+    lm = np.zeros((n,), np.float32)
+    count = _LIB.ctcb_decode(
+        ctypes.c_void_p(decoder.handle),
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, k,
+        blank_penalty,
+        out_phones.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        words_buf, len(words_buf),
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ac.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if count < 0:
+        raise RuntimeError(f"native decode failed (code {count})")
+    raw_words = words_buf.raw.split(b"\x1e")
+    hyps = []
+    for i in range(count):
+        wtxt = raw_words[i].decode() if i < len(raw_words) else ""
+        hyps.append(
+            Hypothesis(
+                phones=list(out_phones[i, : out_lens[i]]),
+                words=[w for w in wtxt.split("\n") if w],
+                score=float(scores[i]),
+                ac_score=float(ac[i]),
+                lm_score=float(lm[i]),
+            )
+        )
+    return hyps if return_nbest else hyps[:1]
+
+
+def rearrange_speech_logits(logits: np.ndarray, *, blank_last: bool = True):
+    """Convert between blank-first (framework) and blank-last (upstream
+    decoder) logit layouts (``eval_competition.py:106-109``)."""
+    if blank_last:
+        return np.concatenate([logits[..., 1:], logits[..., :1]], axis=-1)
+    return np.concatenate([logits[..., -1:], logits[..., :-1]], axis=-1)

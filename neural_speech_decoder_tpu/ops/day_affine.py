@@ -34,7 +34,10 @@ def day_affine(params: dict, x: jax.Array, day_idx: jax.Array) -> jax.Array:
 
     Returns: ``[B, T, D]``.
     """
-    w = jnp.take(params["weight"], day_idx, axis=0).astype(x.dtype)  # [B,D,D]
-    b = jnp.take(params["bias"], day_idx, axis=0).astype(x.dtype)  # [B,D]
+    # mode="clip": out-of-range day indices clamp to the last day instead of
+    # jnp.take's default out-of-bounds fill (NaN), which would silently
+    # poison every downstream activation.
+    w = jnp.take(params["weight"], day_idx, axis=0, mode="clip").astype(x.dtype)
+    b = jnp.take(params["bias"], day_idx, axis=0, mode="clip").astype(x.dtype)
     y = jnp.einsum("btd,bdk->btk", x, w, preferred_element_type=jnp.float32)
     return (y + b[:, None, :].astype(jnp.float32)).astype(x.dtype)
