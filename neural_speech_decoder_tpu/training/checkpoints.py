@@ -68,3 +68,12 @@ class CheckpointManager:
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))
+
+    def save_sidecar(self, payload: dict) -> None:
+        """Host-side resume metadata (sampler RNG state, metric history)."""
+        with open(os.path.join(self.output_dir, "trainerState"), "wb") as f:
+            pickle.dump(payload, f)
+
+    def load_sidecar(self) -> dict:
+        with open(os.path.join(self.output_dir, "trainerState"), "rb") as f:
+            return pickle.load(f)

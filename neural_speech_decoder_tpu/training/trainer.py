@@ -21,6 +21,7 @@ TPU-first redesign:
 from __future__ import annotations
 
 import math
+import os
 import time
 from functools import partial
 from typing import Any, Callable, NamedTuple
@@ -256,7 +257,6 @@ def run_eval(
 def train_model(args: dict) -> dict:
     """Train per the reference contract; returns a summary dict."""
     output_dir = args["outputDir"]
-    save_args(output_dir, {k: v for k, v in args.items() if k != "dataset"})
     seed = int(args.get("seed", 0))
     np_rng = np.random.default_rng(seed)
     base_key = jax.random.key(seed)
@@ -273,6 +273,12 @@ def train_model(args: dict) -> dict:
     train_ds = pack_days(raw["train"])
     test_ds = pack_days(raw["test"])
     n_days = len(raw["train"])
+    # Persist the resolved day count so load_model rebuilds correctly (the
+    # reference hardcodes nDays=24 in its loader — trainer.py:390-410).
+    save_args(
+        output_dir,
+        {**{k: v for k, v in args.items() if k != "dataset"}, "nDays": n_days},
+    )
 
     batch_size = int(args["batchSize"])
     t_max, u_max = choose_envelope(
@@ -315,16 +321,49 @@ def train_model(args: dict) -> dict:
 
     n_batch = int(args["nBatch"])
     eval_every = int(args.get("evalEvery", 100))
+    ckpt_every = int(args.get("checkpointEvery", 0))
     ckpt = CheckpointManager(output_dir)
     compat_skip_first = bool(args.get("compat_skip_first_eval_save", False))
 
     test_loss: list[float] = []
     test_cer: list[float] = []
+    start_step = 0
+    # Resume: full train state + sampler RNG + metric history (the reference
+    # has no resume path at all — SURVEY.md §5 checkpoint/resume).
+    if args.get("resume") and ckpt.exists("lastState"):
+        state = jax.device_put(ckpt.restore("lastState", state), r_shard)
+        side = ckpt.load_sidecar()
+        start_step = int(side["step"])
+        test_loss = list(side["testLoss"])
+        test_cer = list(side["testCER"])
+        np_rng.bit_generator.state = side["np_rng_state"]
+        print(f"Resumed from step {start_step}")
+
+    def save_last(step):
+        ckpt.save("lastState", state)
+        ckpt.save_sidecar(
+            {
+                "step": step + 1,
+                "testLoss": test_loss,
+                "testCER": test_cer,
+                "np_rng_state": np_rng.bit_generator.state,
+            }
+        )
+
+    # Optional jax.profiler trace over a step window (SURVEY.md §5: the
+    # reference only has wall-clock timing; this exposes real TPU traces).
+    profile_start, profile_stop = args.get("profile_steps", (None, None))
+
     start_time = time.time()
-    for step in range(n_batch):
+    for step in range(start_step, n_batch):
+        if step == profile_start:
+            jax.profiler.start_trace(os.path.join(output_dir, "profile"))
         batch = sample_batch(train_ds, np_rng, batch_size, t_max, u_max)
         key = jax.random.fold_in(base_key, step)
         state, metrics = train_step(state, *device_put_batch(batch), key)
+        if step == profile_stop:
+            jax.tree.map(lambda x: x.block_until_ready(), metrics)
+            jax.profiler.stop_trace()
 
         lr = float(schedule(step))
         log_dict = {k: float(v) for k, v in metrics.items()}
@@ -370,7 +409,10 @@ def train_model(args: dict) -> dict:
             test_cer.append(cer)
             save_training_stats(output_dir, test_loss, test_cer)
 
-    ckpt.save("lastState", state)
+        if ckpt_every and (step + 1) % ckpt_every == 0:
+            save_last(step)
+
+    save_last(n_batch - 1)
     final_cer = test_cer[-1] if test_cer else float("inf")
     best_cer = float(np.min(test_cer)) if test_cer else float("inf")
     summary = {

@@ -1,0 +1,58 @@
+"""Canonical GRU baseline training run (reference scripts/train_model.py).
+
+    python scripts/train_gru.py --outputDir LOGDIR --datasetPath PICKLE
+"""
+
+import argparse
+import sys
+import os
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from neural_speech_decoder_tpu.training.trainer import train_model  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--outputDir", required=True)
+    p.add_argument("--datasetPath", required=True)
+    p.add_argument("--nBatch", type=int, default=10000)
+    p.add_argument("--resume", action="store_true")
+    cli = p.parse_args()
+
+    # Reference baseline hyperparameters (scripts/train_model.py:4-31).
+    args = {
+        "outputDir": cli.outputDir,
+        "datasetPath": cli.datasetPath,
+        "wandb_project": "neural-speech-decoder",
+        "wandb_run_name": os.path.basename(cli.outputDir),
+        "wandb_mode": "offline",
+        "seqLen": 150,
+        "maxTimeSeriesLen": 1200,
+        "batchSize": 64,
+        "lrStart": 0.02,
+        "lrEnd": 0.02,
+        "nUnits": 1024,
+        "nBatch": cli.nBatch,
+        "nLayers": 5,
+        "seed": 0,
+        "nClasses": 40,
+        "nInputFeatures": 256,
+        "dropout": 0.4,
+        "whiteNoiseSD": 0.8,
+        "constantOffsetSD": 0.2,
+        "gaussianSmoothWidth": 2.0,
+        "strideLen": 4,
+        "kernelLen": 32,
+        "bidirectional": True,
+        "l2_decay": 1e-5,
+        # TPU-native additions
+        "compute_dtype": "bfloat16",
+        "checkpointEvery": 500,
+        "resume": cli.resume,
+    }
+    train_model(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Config CLI, checkpoint/resume, and sweep driver."""
+
+import json
+import pickle
+
+import numpy as np
+import pytest
+
+from neural_speech_decoder_tpu.data.synthetic import synthetic_dataset
+from neural_speech_decoder_tpu.parallel.sweep import grid_space, run_sweep
+from neural_speech_decoder_tpu.training.trainer import train_model
+from neural_speech_decoder_tpu.utils.config import (
+    apply_overrides,
+    load_yaml_config,
+)
+
+
+def base_args(tmp_path, **over):
+    args = {
+        "outputDir": str(tmp_path / "run"),
+        "dataset": synthetic_dataset(
+            seed=0, n_days=2, trials_per_day=10, n_channels=12,
+            min_t=40, max_t=60, min_u=2, max_u=4, signal_scale=3.0,
+        ),
+        "batchSize": 4,
+        "lrStart": 0.01,
+        "lrEnd": 0.01,
+        "l2_decay": 0.0,
+        "nBatch": 20,
+        "evalEvery": 10,
+        "whiteNoiseSD": 0.1,
+        "constantOffsetSD": 0.0,
+        "gaussianSmoothWidth": 2.0,
+        "nUnits": 16,
+        "nLayers": 2,
+        "nInputFeatures": 12,
+        "nClasses": 40,
+        "dropout": 0.0,
+        "strideLen": 4,
+        "kernelLen": 8,
+        "bidirectional": True,
+        "seed": 0,
+        "wandb_mode": "disabled",
+        "time_multiple": 16,
+    }
+    args.update(over)
+    return args
+
+
+def test_yaml_config_and_overrides(tmp_path):
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text("a: 1\nnested:\n  b: two\nlr: 0.02\n")
+    cfg = load_yaml_config(str(cfg_path))
+    apply_overrides(cfg, ["a=5", "nested.b=three", "lr=1e-3", "new.key=true"])
+    assert cfg["a"] == 5
+    assert cfg["nested"]["b"] == "three"
+    assert cfg["lr"] == 1e-3
+    assert cfg["new"]["key"] is True
+    with pytest.raises(ValueError):
+        apply_overrides(cfg, ["noequals"])
+
+
+def test_bundled_configs_parse():
+    import os
+
+    base = os.path.join(
+        os.path.dirname(__file__), "..", "neural_speech_decoder_tpu", "configs"
+    )
+    gru = load_yaml_config(os.path.join(base, "gru_baseline.yaml"))
+    conf = load_yaml_config(os.path.join(base, "conformer.yaml"))
+    assert gru["nUnits"] == 1024 and gru["kernelLen"] == 32
+    assert conf["model_type"] == "transformer_ctc"
+    assert conf["warmup_steps"] == 1000
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    # Uninterrupted 20-step run.
+    args_a = base_args(tmp_path / "a")
+    train_model(args_a)
+    # Interrupted at 10 steps, then resumed to 20.
+    args_b = base_args(tmp_path / "b", nBatch=10, checkpointEvery=5)
+    train_model(args_b)
+    args_b2 = base_args(tmp_path / "b", nBatch=20, checkpointEvery=5,
+                        resume=True)
+    train_model(args_b2)
+
+    import jax
+
+    from neural_speech_decoder_tpu.training.trainer import load_model
+
+    pa, _, _ = load_model(str(tmp_path / "a" / "run"))
+    pb, _, _ = load_model(str(tmp_path / "b" / "run"))
+    for la, lb in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(
+            np.asarray(la), np.asarray(lb), atol=1e-5
+        )
+    # metric history stitched across the resume
+    with open(tmp_path / "b" / "run" / "trainingStats", "rb") as f:
+        stats = pickle.load(f)
+    assert len(stats["testCER"]) == 2  # evals at steps 0 and 10
+
+
+def test_sweep_driver(tmp_path):
+    args = base_args(tmp_path, nBatch=6, evalEvery=3)
+    overrides = grid_space({"lrStart": [0.01, 0.005], "dropout": [0.0]})
+    assert len(overrides) == 2
+    trials = run_sweep(
+        args, overrides, str(tmp_path / "sweep"),
+        array_parallelism=1, use_processes=False,
+    )
+    assert all(t.status == "done" for t in trials)
+    assert trials[0].best_cer <= trials[1].best_cer
+    with open(tmp_path / "sweep" / "sweep_summary.json") as f:
+        summary = json.load(f)
+    assert len(summary) == 2 and "best_cer" in summary[0]
+
+
+def test_cli_main(tmp_path):
+    import yaml
+
+    from neural_speech_decoder_tpu.training.cli import main
+
+    args = base_args(tmp_path, nBatch=4, evalEvery=2)
+    ds = args.pop("dataset")
+    ds_path = tmp_path / "ds.pkl"
+    with open(ds_path, "wb") as f:
+        pickle.dump(ds, f)
+    args["datasetPath"] = str(ds_path)
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(args))
+    summary = main(
+        ["--config", str(cfg_path), "nBatch=4", f"outputDir={tmp_path}/cli"]
+    )
+    assert np.isfinite(summary["summary/final_loss"])
