@@ -302,9 +302,32 @@ def gru_forward(
     """Full forward pass: ``[B, T, C]`` features -> ``[B, L, n_classes+1]``
     logits (float32). Mirrors ``GRUDecoder.forward`` (model.py:83-123)."""
     x = x.astype(cfg.compute_dtype)
-    x = gaussian_smooth(x, cfg.gaussian_kernel_size, cfg.gaussian_smooth_width)
-    x = day_affine(params["day"], x, day_idx)
-    x = jax.nn.soft_sign(x)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and cfg.hidden_dim % 128 == 0
+            and x.shape[0] % 16 == 0
+        )
+    if use_pallas and not train and cfg.neural_dim % 128 == 0:
+        # Inference: one fused kernel pass (smooth+affine+softsign). The
+        # training path keeps the XLA chain for its autodiff.
+        from ..ops.pallas.frontend_kernel import fused_frontend
+
+        x = fused_frontend(
+            x,
+            params["day"]["weight"],
+            params["day"]["bias"],
+            day_idx,
+            kernel_size=cfg.gaussian_kernel_size,
+            sigma=cfg.gaussian_smooth_width,
+        )
+    else:
+        x = gaussian_smooth(
+            x, cfg.gaussian_kernel_size, cfg.gaussian_smooth_width
+        )
+        x = day_affine(params["day"], x, day_idx)
+        x = jax.nn.soft_sign(x)
     enc = gru_encode(params, cfg, x, train=train, dropout_key=dropout_key)
     return (
         jnp.einsum("blh,hk->blk", enc, params["fc"]["weight"].astype(enc.dtype),

@@ -300,14 +300,31 @@ def train_model(args: dict) -> dict:
     tx, schedule = make_optimizer(args)
     state = {"params": params, "opt_state": tx.init(params), "step": jnp.array(0)}
 
-    # Data-parallel mesh when >1 device; single-device otherwise.
+    # Parallelism: data-parallel over all devices by default; optional
+    # tensor parallelism via n_model_devices (Megatron-style weight sharding
+    # from parallel/shardings.py; collectives inserted by XLA GSPMD).
     devices = jax.devices()
-    n_data = args.get("n_data_devices") or len(devices)
+    n_model = int(args.get("n_model_devices", 1))
+    avail = len(devices) // n_model
+    n_data = min(int(args.get("n_data_devices") or avail), avail)
     n_data = max(d for d in range(1, n_data + 1) if batch_size % d == 0)
-    mesh = make_mesh(n_data=n_data, n_model=1, devices=devices[:n_data])
+    mesh = make_mesh(n_data=n_data, n_model=n_model,
+                     devices=devices[: n_data * n_model])
     b_shard = batch_sharding(mesh)
     r_shard = replicated_sharding(mesh)
-    state = jax.device_put(state, r_shard)
+    if n_model > 1:
+        from ..parallel.shardings import shard_params
+
+        params = shard_params(
+            state["params"], mesh, args.get("model_type", "gru_baseline")
+        )
+        state = {
+            "params": params,
+            "opt_state": jax.jit(tx.init)(params),
+            "step": jax.device_put(state["step"], r_shard),
+        }
+    else:
+        state = jax.device_put(state, r_shard)
 
     def device_put_batch(batch: Batch):
         return tuple(
