@@ -62,14 +62,19 @@ def sample_batch(
     batch_size: int,
     t_max: int,
     u_max: int,
+    *,
+    buckets: list[int] | None = None,
 ) -> Batch:
     """One uniformly-random batch of distinct trials (reference per-step
-    semantics)."""
+    semantics). With ``buckets``, the batch pads to the smallest bucket
+    ceiling covering its longest trial instead of the global envelope."""
     idx = rng.choice(ds.n_trials, size=min(batch_size, ds.n_trials),
                      replace=False)
     if len(idx) < batch_size:  # tiny datasets: repeat to fill the envelope
         pad = rng.choice(ds.n_trials, size=batch_size - len(idx), replace=True)
         idx = np.concatenate([idx, pad])
+    if buckets is not None:
+        t_max = min(bucket_for(buckets, int(ds.lengths[idx].max())), t_max)
     return _gather(ds, idx, t_max, u_max, np.ones(batch_size))
 
 
@@ -92,6 +97,39 @@ def eval_batches(
 
 def round_up(x: int, multiple: int) -> int:
     return ((x + multiple - 1) // multiple) * multiple
+
+
+def length_buckets(
+    ds: PackedDataset,
+    n_buckets: int,
+    t_max: int,
+    *,
+    time_multiple: int = 128,
+) -> list[int]:
+    """Quantile-based time buckets, each a multiple of ``time_multiple``.
+
+    The reference pads every batch to its own max (dynamic shapes); under
+    XLA we quantize that to a few fixed envelopes — one compile per bucket,
+    short batches stop paying for the global max. Returns ascending bucket
+    ceilings ending at ``t_max``.
+    """
+    if n_buckets <= 1 or ds.n_trials == 0:
+        return [t_max]
+    qs = np.quantile(
+        np.minimum(ds.lengths, t_max), np.linspace(0, 1, n_buckets + 1)[1:-1]
+    )
+    buckets = sorted(
+        {min(round_up(int(q), time_multiple), t_max) for q in qs} | {t_max}
+    )
+    return [b for b in buckets if b > 0]
+
+
+def bucket_for(buckets: list[int], batch_max_len: int) -> int:
+    """Smallest bucket ceiling >= the batch's max length (last as fallback)."""
+    for b in buckets:
+        if b >= batch_max_len:
+            return b
+    return buckets[-1]
 
 
 def choose_envelope(

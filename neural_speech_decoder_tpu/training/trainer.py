@@ -31,7 +31,13 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..data.batching import Batch, choose_envelope, eval_batches, sample_batch
+from ..data.batching import (
+    Batch,
+    choose_envelope,
+    eval_batches,
+    length_buckets,
+    sample_batch,
+)
 from ..data.dataset import PackedDataset, load_pickle_dataset, pack_days
 from ..models.gru import GRUConfig, gru_forward, init_gru_params
 from ..ops.ctc import ctc_loss
@@ -371,24 +377,49 @@ def train_model(args: dict) -> dict:
     # reference only has wall-clock timing; this exposes real TPU traces).
     profile_start, profile_stop = args.get("profile_steps", (None, None))
 
+    # Length bucketing: pad each batch to the smallest quantile bucket that
+    # covers it (few compiles, short batches stop paying for the global
+    # envelope — closer to the reference's per-batch dynamic padding).
+    n_buckets = int(args.get("lengthBuckets", 1))
+    buckets = (
+        length_buckets(train_ds, n_buckets, t_max,
+                       time_multiple=int(args.get("time_multiple", 128)))
+        if n_buckets > 1
+        else None
+    )
+
+    def flush_metrics(pending):
+        if pending is None:
+            return
+        held, at_step = pending
+        log_dict = {k: float(v) for k, v in held.items()}
+        log_dict["train/learning_rate"] = float(schedule(at_step))
+        log_dict["train/batch"] = at_step
+        logger.log(log_dict, step=at_step)
+
     start_time = time.time()
+    pending = None  # (metrics, step) held from the previous iteration
     for step in range(start_step, n_batch):
         if step == profile_start:
             jax.profiler.start_trace(os.path.join(output_dir, "profile"))
-        batch = sample_batch(train_ds, np_rng, batch_size, t_max, u_max)
+        batch = sample_batch(
+            train_ds, np_rng, batch_size, t_max, u_max, buckets=buckets
+        )
         key = jax.random.fold_in(base_key, step)
         state, metrics = train_step(state, *device_put_batch(batch), key)
         if step == profile_stop:
             jax.tree.map(lambda x: x.block_until_ready(), metrics)
             jax.profiler.stop_trace()
 
-        lr = float(schedule(step))
-        log_dict = {k: float(v) for k, v in metrics.items()}
-        log_dict["train/learning_rate"] = lr
-        log_dict["train/batch"] = step
-        logger.log(log_dict, step=step)
+        # Pipelined logging: materializing metrics synchronizes with the
+        # device, so flush step t-1's values only after dispatching step t —
+        # host batch prep + h2d for the next step overlap the device step.
+        flush_metrics(pending)
+        pending = (metrics, step)
 
         if step % eval_every == 0:
+            flush_metrics(pending)
+            pending = None
             avg_loss, cer, edit_dist, seq_len = run_eval(
                 eval_step,
                 state["params"],
@@ -429,6 +460,7 @@ def train_model(args: dict) -> dict:
         if ckpt_every and (step + 1) % ckpt_every == 0:
             save_last(step)
 
+    flush_metrics(pending)
     save_last(n_batch - 1)
     final_cer = test_cer[-1] if test_cer else float("inf")
     best_cer = float(np.min(test_cer)) if test_cer else float("inf")

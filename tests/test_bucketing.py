@@ -1,0 +1,79 @@
+"""Length-bucketed batching: correctness and trainer integration."""
+
+import numpy as np
+
+from neural_speech_decoder_tpu.data.batching import (
+    bucket_for,
+    choose_envelope,
+    length_buckets,
+    sample_batch,
+)
+from neural_speech_decoder_tpu.data.dataset import pack_days
+from neural_speech_decoder_tpu.data.synthetic import synthetic_dataset
+from neural_speech_decoder_tpu.training.trainer import train_model
+
+
+def test_bucket_construction_and_selection():
+    raw = synthetic_dataset(seed=0, n_days=2, trials_per_day=30,
+                            n_channels=8, min_t=40, max_t=200)
+    ds = pack_days(raw["train"])
+    t_max, _ = choose_envelope(ds, time_multiple=32)
+    buckets = length_buckets(ds, 3, t_max, time_multiple=32)
+    assert buckets[-1] == t_max
+    assert buckets == sorted(buckets)
+    assert all(b % 32 == 0 or b == t_max for b in buckets)
+    assert bucket_for(buckets, 1) == buckets[0]
+    assert bucket_for(buckets, t_max) == t_max
+    assert bucket_for(buckets, t_max + 999) == t_max  # fallback
+
+
+def test_bucketed_sampling_preserves_content():
+    raw = synthetic_dataset(seed=1, n_days=1, trials_per_day=20,
+                            n_channels=8, min_t=40, max_t=160)
+    ds = pack_days(raw["train"])
+    t_max, u_max = choose_envelope(ds, time_multiple=32)
+    buckets = length_buckets(ds, 3, t_max, time_multiple=32)
+    rng = np.random.default_rng(0)
+    seen_ts = set()
+    for _ in range(20):
+        b = sample_batch(ds, rng, 4, t_max, u_max, buckets=buckets)
+        seen_ts.add(b.x.shape[1])
+        assert b.x.shape[1] >= b.x_lens.max()
+        # all valid content present, padding zero
+        for i in range(4):
+            assert np.abs(b.x[i, : b.x_lens[i]]).sum() > 0
+            assert np.abs(b.x[i, b.x_lens[i]:]).sum() == 0
+    assert len(seen_ts) > 1, "bucketing never produced a smaller envelope"
+
+
+def test_trainer_with_buckets_runs_and_learns(tmp_path):
+    args = {
+        "outputDir": str(tmp_path / "run"),
+        "dataset": synthetic_dataset(
+            seed=0, n_days=2, trials_per_day=16, n_channels=12,
+            min_t=30, max_t=120, min_u=2, max_u=4, signal_scale=3.0,
+        ),
+        "batchSize": 4,
+        "lrStart": 0.01,
+        "lrEnd": 0.01,
+        "l2_decay": 0.0,
+        "nBatch": 20,
+        "evalEvery": 10,
+        "whiteNoiseSD": 0.1,
+        "constantOffsetSD": 0.0,
+        "gaussianSmoothWidth": 2.0,
+        "nUnits": 16,
+        "nLayers": 2,
+        "nInputFeatures": 12,
+        "nClasses": 40,
+        "dropout": 0.0,
+        "strideLen": 4,
+        "kernelLen": 8,
+        "bidirectional": True,
+        "seed": 0,
+        "wandb_mode": "disabled",
+        "time_multiple": 16,
+        "lengthBuckets": 3,
+    }
+    summary = train_model(args)
+    assert np.isfinite(summary["summary/final_loss"])
