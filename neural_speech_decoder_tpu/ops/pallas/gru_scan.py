@@ -16,10 +16,10 @@ direction and the weight block swaps only once.
 The backward kernel walks time in reverse via index maps ``l -> L-1-l``,
 carries only ``dh`` (f32 scratch), recomputes the gates (one extra matmul
 per step instead of three stored activation tensors round-tripping HBM),
-and emits per-step gate grads; the ``dW_hh`` contraction then runs as one
-large XLA matmul outside the kernel. Same structure as the pure-JAX custom
-VJP in ``models/gru.py``, which remains the CPU/fallback path and the
-correctness oracle for these kernels.
+streams out ``dxp``, and accumulates ``dW_hh``/``db_hh`` in VMEM-resident
+f32 output blocks. Same math as the pure-JAX custom VJP in
+``models/gru.py``, which remains the CPU/fallback path and the correctness
+oracle for these kernels.
 
 Gate math (torch nn.GRU conventions, gate order r,z,n — model.py:50-57):
   r = sigmoid(x_r + h W_r + b_r);  z = sigmoid(x_z + h W_z + b_z)
@@ -60,19 +60,26 @@ def _fwd_kernel(xp_ref, w_ref, b_ref, ys_ref, h_ref):
 
 
 def _bwd_kernel(
-    xp_ref, ys_ref, dys_ref, w_ref, wt_ref, b_ref, dhp_ref, dan_ref, dh_ref
+    xp_ref, ys_ref, dys_ref, w_ref, wt_ref, b_ref,
+    dxp_ref, dw_ref, db_ref, dh_ref,
 ):
-    """Reverse-time step. Outputs per-step gate grads ``dhp`` plus ``da_n``
-    (the only third in which dxp differs from dhp; dxp is reassembled
-    outside). ``wt`` is the pre-transposed weight so the ``dhp @ W^T``
-    product is a plain MXU matmul — contracting the second dim of a
-    VMEM-resident W would re-transpose 6 MB every step (~2x kernel time)."""
+    """Reverse-time step. Streams out ``dxp`` (gate grads w.r.t. the input
+    projections) and accumulates ``dW_hh`` / ``db_hh`` directly in VMEM-
+    resident f32 output blocks (revisited across the whole direction) — the
+    alternative, streaming per-step gate grads to HBM and contracting them
+    afterwards, costs a ~6 ms XLA einsum per layer plus the extra stream.
+
+    ``wt`` is the pre-transposed weight so the ``dhp @ W^T`` product is a
+    plain MXU matmul — contracting the second dim of a VMEM-resident W
+    would re-transpose 6 MB every step (~2x kernel time)."""
     hdim = dh_ref.shape[-1]
     l = pl.program_id(1)  # 0 .. L-1, but blocks are index-mapped to L-1-l
 
     @pl.when(l == 0)
     def _():
         dh_ref[:] = jnp.zeros_like(dh_ref)
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
 
     w = w_ref[0]
     # h_{t-1}: block index-mapped to max(t-1, 0); zero at t == 0.
@@ -98,9 +105,18 @@ def _bwd_kernel(
     da_z = dz * z * (1.0 - z)
     da_r = dr * r * (1.0 - r)
     dhp_n = da_n * r
-    dhp = jnp.concatenate([da_r, da_z, dhp_n], axis=-1).astype(dhp_ref.dtype)
-    dhp_ref[0, 0] = dhp
-    dan_ref[0, 0] = da_n.astype(dan_ref.dtype)
+    dhp = jnp.concatenate([da_r, da_z, dhp_n], axis=-1).astype(xp_ref.dtype)
+    dxp_ref[0, 0] = jnp.concatenate(
+        [da_r, da_z, da_n], axis=-1
+    ).astype(dxp_ref.dtype)
+    # dW_hh += h_{t-1}^T @ dhp ; db_hh += sum_b dhp  (f32 accumulators)
+    dw_ref[0] += jax.lax.dot_general(
+        hprev.astype(xp_ref.dtype),
+        dhp,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db_ref[0, 0] += jnp.sum(dhp.astype(jnp.float32), axis=0)
     # dh_{t-1} = dh_t * z + dhp @ W^T
     dh_ref[:] = dh_tot * z + jnp.dot(
         dhp.astype(wt_ref.dtype), wt_ref[0], preferred_element_type=jnp.float32
@@ -153,7 +169,7 @@ def _backward(xp, w_hh, b_hh, ys, dys, interpret):
     rev_prev = lambda di, li: (jnp.maximum(length - 1 - li - 1, 0), di, 0, 0)
     w_c = w_hh.astype(xp.dtype)
     wt_c = jnp.transpose(w_c, (0, 2, 1))
-    dhp, dan = pl.pallas_call(
+    dxp, dw, db = pl.pallas_call(
         _bwd_kernel,
         grid=(d, length),
         in_specs=[
@@ -166,11 +182,16 @@ def _backward(xp, w_hh, b_hh, ys, dys, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, b, three_h), rev),
-            pl.BlockSpec((1, 1, b, h), rev),
+            # dW/db accumulator blocks are revisited for the whole direction
+            # (index depends only on d), so they live in VMEM until the
+            # direction completes.
+            pl.BlockSpec((1, h, three_h), lambda di, li: (di, 0, 0)),
+            pl.BlockSpec((1, 1, three_h), lambda di, li: (di, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((length, d, b, three_h), xp.dtype),
-            jax.ShapeDtypeStruct((length, d, b, h), xp.dtype),
+            jax.ShapeDtypeStruct((d, h, three_h), jnp.float32),
+            jax.ShapeDtypeStruct((d, 1, three_h), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((b, h), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
@@ -178,10 +199,7 @@ def _backward(xp, w_hh, b_hh, ys, dys, interpret):
         ),
         interpret=interpret,
     )(xp, ys, dys, w_c, wt_c, b_hh[:, None, :])
-    # dxp shares its first two thirds (da_r, da_z) with dhp; the n-third is
-    # da_n rather than da_n * r.
-    dxp = jnp.concatenate([dhp[..., : 2 * h], dan], axis=-1)
-    return dhp, dxp
+    return dxp, dw, db[:, 0, :]
 
 
 def _gru_sequence_fwd(xp, w_hh, b_hh, interpret):
@@ -191,13 +209,8 @@ def _gru_sequence_fwd(xp, w_hh, b_hh, interpret):
 
 def _gru_sequence_bwd(interpret, res, dys):
     xp, w_hh, b_hh, ys = res
-    dhp, dxp = _backward(xp, w_hh, b_hh, ys, dys, interpret)
-    # dW_hh = sum_t h_{t-1} (x) dhp_t; h_{-1} = 0 drops the t=0 term.
-    dw = jnp.einsum(
-        "ldbh,ldbk->dhk", ys[:-1], dhp[1:], preferred_element_type=jnp.float32
-    ).astype(w_hh.dtype)
-    db = jnp.sum(dhp.astype(jnp.float32), axis=(0, 2)).astype(b_hh.dtype)
-    return dxp, dw, db
+    dxp, dw, db = _backward(xp, w_hh, b_hh, ys, dys, interpret)
+    return dxp, dw.astype(w_hh.dtype), db.astype(b_hh.dtype)
 
 
 gru_sequence.defvjp(_gru_sequence_fwd, _gru_sequence_bwd)
