@@ -34,3 +34,20 @@ def apply_noise(
         b, _, c = x.shape
         x = x + jax.random.normal(k2, (b, 1, c), x.dtype) * constant_offset_sd
     return x
+
+
+def white_noise(key: jax.Array, x: jax.Array, std: float = 0.1) -> jax.Array:
+    """Module-form iid noise transform (reference ``WhiteNoise``,
+    augmentations.py:8-15): ``x + N(0, std^2)`` elementwise."""
+    return x + jax.random.normal(key, x.shape, x.dtype) * std
+
+
+def mean_drift_noise(
+    key: jax.Array, x: jax.Array, std: float = 0.1
+) -> jax.Array:
+    """Module-form per-channel offset (reference ``MeanDriftNoise``,
+    augmentations.py:17-25): one ``[1, C]`` offset per trial, broadcast over
+    time. Accepts ``[T, C]`` or ``[B, T, C]`` (offset per batch row)."""
+    c = x.shape[-1]
+    shape = (1, c) if x.ndim == 2 else (x.shape[0], 1, c)
+    return x + jax.random.normal(key, shape, x.dtype) * std
