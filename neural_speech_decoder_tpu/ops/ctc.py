@@ -67,11 +67,24 @@ def ctc_loss(
     """
     t = log_probs.shape[1]
     u = labels.shape[1]
-    logit_pad = 1.0 - _length_mask(input_lens, t).astype(log_probs.dtype)
-    label_pad = 1.0 - _length_mask(label_lens, u).astype(log_probs.dtype)
-    per_seq = optax.ctc_loss(
-        log_probs, logit_pad, labels, label_pad, blank_id=blank_id
+    use_tpu_kernel = (
+        blank_id == 0
+        and jax.default_backend() == "tpu"
+        and log_probs.shape[0] % 8 == 0
     )
+    if use_tpu_kernel:
+        # Pallas forward-backward kernels: optax's lax.scan pays ~20us of
+        # loop overhead per frame for ~0.1us of math (see ops/pallas/
+        # ctc_kernel.py); numerics parity is pinned by test_pallas_ctc.
+        from .pallas.ctc_kernel import ctc_loss_tpu
+
+        per_seq = ctc_loss_tpu(log_probs, input_lens, labels, label_lens)
+    else:
+        logit_pad = 1.0 - _length_mask(input_lens, t).astype(log_probs.dtype)
+        label_pad = 1.0 - _length_mask(label_lens, u).astype(log_probs.dtype)
+        per_seq = optax.ctc_loss(
+            log_probs, logit_pad, labels, label_pad, blank_id=blank_id
+        )
     if zero_infinity:
         ok = ctc_feasible(labels, label_lens, input_lens)
         per_seq = jnp.where(ok, per_seq, 0.0)

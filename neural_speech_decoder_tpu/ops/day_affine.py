@@ -34,10 +34,22 @@ def day_affine(params: dict, x: jax.Array, day_idx: jax.Array) -> jax.Array:
 
     Returns: ``[B, T, D]``.
     """
-    # mode="clip": out-of-range day indices clamp to the last day instead of
-    # jnp.take's default out-of-bounds fill (NaN), which would silently
-    # poison every downstream activation.
-    w = jnp.take(params["weight"], day_idx, axis=0, mode="clip").astype(x.dtype)
-    b = jnp.take(params["bias"], day_idx, axis=0, mode="clip").astype(x.dtype)
+    n_days = params["weight"].shape[0]
+    # One-hot selection instead of gather: the forward costs one tiny
+    # [B, nDays] @ [nDays, D*D] matmul, and — decisively — the backward
+    # becomes a matmul too (dW = onehot^T @ per-trial grads) instead of a
+    # scatter-add of [B, D, D] into [nDays, D, D], which XLA lowers ~6x
+    # slower on TPU. Clipping replicates jnp.take(mode="clip") (an
+    # out-of-bounds fill would silently NaN every downstream activation).
+    idx = jnp.clip(day_idx, 0, n_days - 1)
+    onehot = jax.nn.one_hot(idx, n_days, dtype=x.dtype)
+    w = jnp.einsum(
+        "bn,ndk->bdk", onehot, params["weight"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    b = jnp.einsum(
+        "bn,nd->bd", onehot, params["bias"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
     y = jnp.einsum("btd,bdk->btk", x, w, preferred_element_type=jnp.float32)
     return (y + b[:, None, :].astype(jnp.float32)).astype(x.dtype)
