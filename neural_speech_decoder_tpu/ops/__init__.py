@@ -7,7 +7,7 @@ from .gaussian import (
     gaussian_smooth,
     same_padding,
 )
-from .noise import apply_noise
+from .noise import apply_noise, mean_drift_noise, white_noise
 from .specaugment import spec_augment
 from .unfold import ctc_input_lengths, unfold, unfold_matmul, unfold_output_length
 
@@ -24,6 +24,8 @@ __all__ = [
     "gaussian_smooth",
     "same_padding",
     "apply_noise",
+    "mean_drift_noise",
+    "white_noise",
     "spec_augment",
     "ctc_input_lengths",
     "unfold",
