@@ -103,6 +103,7 @@ class GRUStreamer:
         )
         self._flushed = False
         self._fast_state = None  # on-device (raw_ctx, bin_ctx, h) once steady
+        self._decode_prev = np.full((self.batch,), -1, np.int64)
 
     # -- jitted pieces ------------------------------------------------------
     def _build_step(self):
@@ -322,6 +323,29 @@ class GRUStreamer:
         return np.zeros(
             (self.batch, 0, self.cfg.n_out), np.float32
         )
+
+    def decode_greedy(self, logits: np.ndarray) -> list[list[int]]:
+        """Incrementally greedy-decode newly emitted logits.
+
+        Maintains the CTC collapse state (previous argmax token) across
+        calls, so feeding chunk outputs one by one yields exactly the
+        phoneme stream an offline argmax → collapse-repeats → drop-blank
+        pass would produce. Returns newly emitted label IDs per stream.
+        """
+        if not hasattr(self, "_decode_prev"):
+            self._decode_prev = np.full((self.batch,), -1, np.int64)
+        out: list[list[int]] = [[] for _ in range(self.batch)]
+        if logits.shape[1] == 0:
+            return out
+        ids = np.argmax(np.asarray(logits), axis=-1)  # [B, m]
+        for bi in range(self.batch):
+            prev = self._decode_prev[bi]
+            for tok in ids[bi]:
+                if tok != prev and tok != 0:
+                    out[bi].append(int(tok))
+                prev = tok
+            self._decode_prev[bi] = prev
+        return out
 
     def _single_frame(self, chunk):
         if not hasattr(self, "_step1"):

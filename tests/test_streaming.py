@@ -118,6 +118,29 @@ def test_fast_path_demotes_on_odd_chunk():
     np.testing.assert_allclose(streamed, offline, atol=1e-4)
 
 
+def test_incremental_greedy_decode_matches_offline():
+    from neural_speech_decoder_tpu.ops.decode import greedy_decode
+
+    params, cfg = make_model()
+    rng = np.random.default_rng(5)
+    t = 100
+    x = rng.standard_normal((1, t, cfg.neural_dim)).astype(np.float32)
+    s = GRUStreamer(params, cfg, day_idx=0, frames_per_chunk=1)
+    streamed_tokens = []
+    for start in range(0, t, 4):
+        out = s.process(x[:, start : start + 4])
+        streamed_tokens += s.decode_greedy(out)[0]
+    streamed_tokens += s.decode_greedy(s.flush())[0]
+
+    offline = gru_forward(params, cfg, jnp.asarray(x), jnp.asarray([0]))
+    toks, lens = greedy_decode(
+        offline, jnp.asarray([offline.shape[1]])
+    )
+    np.testing.assert_array_equal(
+        streamed_tokens, np.asarray(toks[0, : lens[0]])
+    )
+
+
 def test_streaming_rejects_bidirectional():
     cfg = GRUConfig(bidirectional=True, neural_dim=4, hidden_dim=8,
                     num_layers=1, n_days=1, kernel_len=4, stride_len=2)
