@@ -74,78 +74,12 @@ def build_torch_model(cfg: ConformerConfig):
 
 
 def torch_to_pytree(model, cfg: ConformerConfig):
+    from neural_speech_decoder_tpu.models.torch_import import (
+        import_conformer_state_dict,
+    )
+
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
-
-    def lin(prefix):
-        return {
-            "w": jnp.asarray(sd[f"{prefix}.weight"].T),
-            "b": jnp.asarray(sd[f"{prefix}.bias"]),
-        }
-
-    def ln(prefix):
-        return {
-            "scale": jnp.asarray(sd[f"{prefix}.weight"]),
-            "bias": jnp.asarray(sd[f"{prefix}.bias"]),
-        }
-
-    blocks = []
-    for i in range(cfg.num_layers):
-        p = f"conformer_layers.{i}"
-        blocks.append(
-            {
-                "ff1": {
-                    "ln": ln(f"{p}.ff1.0"),
-                    "lin1": lin(f"{p}.ff1.1"),
-                    "lin2": lin(f"{p}.ff1.4"),
-                },
-                "attn": {
-                    "ln": ln(f"{p}.ln_attn"),
-                    "in_proj_w": jnp.asarray(sd[f"{p}.attn.in_proj_weight"].T),
-                    "in_proj_b": jnp.asarray(sd[f"{p}.attn.in_proj_bias"]),
-                    "out": lin(f"{p}.attn.out_proj"),
-                },
-                "conv": {
-                    "ln": ln(f"{p}.conv_module.ln"),
-                    "pw1": lin(f"{p}.conv_module.pw_conv1"),
-                    "dw_w": jnp.asarray(
-                        sd[f"{p}.conv_module.dw_conv.weight"][:, 0, :].T
-                    ),
-                    "dw_b": jnp.asarray(sd[f"{p}.conv_module.dw_conv.bias"]),
-                    "ln_conv": ln(f"{p}.conv_module.ln_conv"),
-                    "pw2": lin(f"{p}.conv_module.pw_conv2"),
-                },
-                "ff2": {
-                    "ln": ln(f"{p}.ff2.0"),
-                    "lin1": lin(f"{p}.ff2.1"),
-                    "lin2": lin(f"{p}.ff2.4"),
-                },
-                "ln_final": ln(f"{p}.ln_final"),
-            }
-        )
-    params = {
-        "day": {
-            "weight": jnp.asarray(sd["day_linear.day_weights"]),
-            "bias": jnp.asarray(sd["day_linear.day_bias"][:, 0, :]),
-        },
-        "frontend": {
-            "tconv_w": jnp.asarray(sd["frontend.temporal_conv.weight"][:, 0, :].T),
-            "proj": lin("frontend.proj"),
-            "ln": ln("frontend.ln"),
-        },
-        "bottleneck": {
-            "lin1": lin("encoder.net.0"),
-            "lin2": lin("encoder.net.2"),
-        },
-        "blocks": blocks,
-        "head": {
-            "lin1": lin("output.0"),
-            "ln": ln("output.1"),
-            "lin2": lin("output.4"),
-        },
-    }
-    if cfg.use_interctc:
-        params["inter_out"] = lin("inter_output")
-    return params
+    return import_conformer_state_dict(sd, cfg)
 
 
 def test_conformer_eval_logit_parity():

@@ -20,39 +20,13 @@ from _torch_ref import torch_gru_decoder
 
 
 def torch_to_pytree(model, cfg: GRUConfig):
-    """Convert reference GRUDecoder state into our parameter pytree."""
+    """Convert reference GRUDecoder state via the package migration path."""
+    from neural_speech_decoder_tpu.models.torch_import import (
+        import_gru_state_dict,
+    )
+
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
-    d = cfg.num_dirs
-    layers = []
-    for li in range(cfg.num_layers):
-        sfx = [f"l{li}", f"l{li}_reverse"][:d]
-        layers.append(
-            {
-                "w_ih": jnp.stack(
-                    [jnp.asarray(sd[f"gru_decoder.weight_ih_{s}"].T) for s in sfx]
-                ),
-                "w_hh": jnp.stack(
-                    [jnp.asarray(sd[f"gru_decoder.weight_hh_{s}"].T) for s in sfx]
-                ),
-                "b_ih": jnp.stack(
-                    [jnp.asarray(sd[f"gru_decoder.bias_ih_{s}"]) for s in sfx]
-                ),
-                "b_hh": jnp.stack(
-                    [jnp.asarray(sd[f"gru_decoder.bias_hh_{s}"]) for s in sfx]
-                ),
-            }
-        )
-    return {
-        "day": {
-            "weight": jnp.asarray(sd["dayWeights"]),
-            "bias": jnp.asarray(sd["dayBias"][:, 0, :]),
-        },
-        "gru": {"layers": layers},
-        "fc": {
-            "weight": jnp.asarray(sd["fc_decoder_out.weight"].T),
-            "bias": jnp.asarray(sd["fc_decoder_out.bias"]),
-        },
-    }
+    return import_gru_state_dict(sd, cfg)
 
 
 @pytest.mark.parametrize("bidirectional", [False, True])
