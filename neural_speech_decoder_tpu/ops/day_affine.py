@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def init_day_affine(n_days: int, dim: int, dtype=jnp.float32) -> dict:

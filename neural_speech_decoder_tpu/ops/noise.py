@@ -16,7 +16,6 @@ so the noise generation runs on-TPU and fuses with the frontend.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def apply_noise(
