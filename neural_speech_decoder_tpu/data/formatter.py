@@ -23,6 +23,7 @@ import argparse
 import os
 import pickle
 import re
+import warnings
 from typing import Callable, Sequence
 
 import numpy as np
@@ -76,7 +77,18 @@ def phonemize(
 
 
 def labels_from_phonemes(phonemes: Sequence[str]) -> np.ndarray:
-    """Phones -> fixed 500-slot int32 ID buffer with +1 offset (cell 3)."""
+    """Phones -> fixed 500-slot int32 ID buffer with +1 offset (cell 3).
+
+    Sequences at/over the buffer size truncate to MAX_SEQ_LEN - 1 (with a
+    warning) so a terminating 0 always exists — the reference notebook
+    would crash downstream on such sentences (its argwhere(ids==0) length
+    probe finds no zero)."""
+    if len(phonemes) >= MAX_SEQ_LEN:
+        warnings.warn(
+            f"phoneme sequence of length {len(phonemes)} truncated to "
+            f"{MAX_SEQ_LEN - 1}"
+        )
+        phonemes = list(phonemes)[: MAX_SEQ_LEN - 1]
     ids = np.zeros(MAX_SEQ_LEN, dtype=np.int32)
     ids[: len(phonemes)] = [phone_to_id(p) + 1 for p in phonemes]
     return ids

@@ -27,18 +27,13 @@ import argparse
 import math
 import os
 import pickle
-import re
 import time
 
 import numpy as np
 
+from ..data.formatter import clean_transcription  # single normalization source
+
 COMPETITION_DAY_IDXS = [4, 5, 6, 7, 8, 9, 10, 12, 13, 14, 15, 16, 18, 19, 20]
-
-
-def clean_transcription(text: str) -> str:
-    text = str(text).strip()
-    text = re.sub(r"[^a-zA-Z\- \']", "", text)
-    return text.replace("--", "").lower()
 
 
 def collect_model_outputs(model_path, dataset_path=None, dataset=None,

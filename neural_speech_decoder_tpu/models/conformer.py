@@ -60,7 +60,10 @@ class ConformerConfig:
     drop_path_prob: float = 0.1
     head_dropout: float = 0.3  # deep head (transformer_ctc.py:423)
     max_pos_len: int = 5000
-    dtype: Any = jnp.float32
+    dtype: Any = jnp.float32  # parameter dtype
+    # Activation/matmul dtype (bf16 on the MXU with f32 accumulation and f32
+    # norm/softmax statistics); float32 keeps exact torch parity for tests.
+    compute_dtype: Any = jnp.float32
 
     @property
     def n_out(self) -> int:
@@ -80,9 +83,11 @@ def _init_ln(dim, dtype):
 
 
 def _layer_norm(p, x, eps=1e-5):
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    xf = x.astype(jnp.float32)  # stats in f32 under mixed precision
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return out.astype(x.dtype)
 
 
 def _init_linear(key, din, dout, dtype):
@@ -91,11 +96,13 @@ def _init_linear(key, din, dout, dtype):
 
 
 def _linear(p, x):
-    return (
-        jnp.einsum("...d,dk->...k", x, p["w"], preferred_element_type=jnp.float32)
-        .astype(x.dtype)
-        + p["b"]
+    # Weights cast to the activation dtype so bf16 activations drive a bf16
+    # MXU matmul (f32 otherwise wins type promotion) with f32 accumulation.
+    y = jnp.einsum(
+        "...d,dk->...k", x, p["w"].astype(x.dtype),
+        preferred_element_type=jnp.float32,
     )
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
 
 
 def _init_ff(key, d, ff, dtype):
@@ -221,10 +228,10 @@ def _attention(p, x, pad_mask, key, num_heads, dropout, train):
     dh = d // num_heads
     xn = _layer_norm(p["ln"], x)
     qkv = (
-        jnp.einsum("btd,dk->btk", xn, p["in_proj_w"],
-                   preferred_element_type=jnp.float32).astype(x.dtype)
-        + p["in_proj_b"]
-    )
+        jnp.einsum("btd,dk->btk", xn, p["in_proj_w"].astype(x.dtype),
+                   preferred_element_type=jnp.float32)
+        + p["in_proj_b"].astype(jnp.float32)
+    ).astype(x.dtype)
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     def heads(z):
@@ -255,14 +262,17 @@ def _conv_module(p, x, key, dropout, train):
     # Depthwise conv along time, 'same' padding (odd kernel).
     kernel = p["dw_w"][:, None, :]  # [k, 1, D]
     pad = p["dw_w"].shape[0] // 2
-    h = jax.lax.conv_general_dilated(
-        h,
-        kernel.astype(h.dtype),
-        window_strides=(1,),
-        padding=[(pad, pad)],
-        dimension_numbers=("NTC", "TIO", "NTC"),
-        feature_group_count=h.shape[-1],
-    ) + p["dw_b"]
+    h = (
+        jax.lax.conv_general_dilated(
+            h,
+            kernel.astype(h.dtype),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            dimension_numbers=("NTC", "TIO", "NTC"),
+            feature_group_count=h.shape[-1],
+        ).astype(jnp.float32)
+        + p["dw_b"].astype(jnp.float32)
+    ).astype(h.dtype)
     h = _layer_norm(p["ln_conv"], h)
     h = jax.nn.silu(h)
     h = _linear(p["pw2"], h)
@@ -345,6 +355,7 @@ def conformer_forward(
         raise ValueError("train=True requires an RNG key")
     keys = jax.random.split(key, cfg.num_layers + 4) if key is not None else None
 
+    x = x.astype(cfg.compute_dtype)
     x = day_affine(params["day"], x, day_idx)
     z = conformer_frontend(
         params, cfg, x, keys[0] if keys is not None else None, train
@@ -374,11 +385,11 @@ def conformer_forward(
         bk = keys[3 + i] if keys is not None else None
         z = _block(bp, cfg, z, pad_mask, bk, train)
         if cfg.use_interctc and i == cfg.interctc_layer - 1 and train:
-            inter_logits = _linear(params["inter_out"], z)
+            inter_logits = _linear(params["inter_out"], z).astype(jnp.float32)
             inter_log_probs = jax.nn.log_softmax(inter_logits, axis=-1)
 
     h = _linear(params["head"]["lin1"], z)
     h = jax.nn.gelu(_layer_norm(params["head"]["ln"], h), approximate=False)
     h = _dropout(keys[2] if keys is not None else None, h, cfg.head_dropout, train)
-    logits = _linear(params["head"]["lin2"], h)
+    logits = _linear(params["head"]["lin2"], h).astype(jnp.float32)
     return jax.nn.log_softmax(logits, axis=-1), out_lens, inter_log_probs

@@ -196,6 +196,9 @@ def _loss_from_alpha(alpha, input_lens, label_lens):
     lo = jnp.maximum(hi - 1, 0)
     a_hi = jnp.take_along_axis(last, hi[:, None], axis=1)[:, 0]
     a_lo = jnp.take_along_axis(last, lo[:, None], axis=1)[:, 0]
+    # Empty target: only one final state exists (hi == lo == 0); summing it
+    # twice would understate the NLL by log 2.
+    a_lo = jnp.where(hi == 0, NEG_INF, a_lo)
     mx = jnp.maximum(a_hi, a_lo)
     mx_safe = jnp.maximum(mx, NEG_INF / 2)
     logp = mx + jnp.log(jnp.exp(a_hi - mx_safe) + jnp.exp(a_lo - mx_safe))

@@ -92,6 +92,7 @@ def build_model(args: dict, n_days: int) -> ModelAPI:
             spec_augment_freq_mask=args.get("spec_augment_freq_mask", 100),
             spec_augment_time_mask=args.get("spec_augment_time_mask", 40),
             drop_path_prob=args.get("drop_path_prob", 0.1),
+            compute_dtype=jnp.dtype(args.get("compute_dtype", "float32")),
         )
 
         def forward(params, x, day_idx, x_lens, *, train, key):
@@ -149,10 +150,11 @@ def _loss_and_metrics(args: dict, model: ModelAPI, params, batch_arrays, key):
     if label_smoothing > 0:
         per_seq = ctc_loss(log_probs, out_lens, y, y_lens, reduction="none")
         ctc = jnp.mean(per_seq)
-        # KL(log_probs || uniform) over ALL frames incl. padding, batchmean —
-        # exactly the reference's torch.nn.functional.kl_div call (:238-240).
+        # KL(log_probs || uniform) over ALL frames incl. padding — the
+        # reference's kl_div(reduction='batchmean') on [T', B, K] divides by
+        # its FIRST dim, i.e. the frame count T', not the batch (:238-240).
         uni = -math.log(n_classes)
-        kl = jnp.sum((1.0 / n_classes) * (uni - log_probs)) / log_probs.shape[0]
+        kl = jnp.sum((1.0 / n_classes) * (uni - log_probs)) / log_probs.shape[1]
         main_loss = (1 - label_smoothing) * ctc + label_smoothing * kl
         metrics["train/ctc_loss"] = ctc
         metrics["train/kl_loss"] = kl
@@ -160,12 +162,18 @@ def _loss_and_metrics(args: dict, model: ModelAPI, params, batch_arrays, key):
         main_loss = ctc_loss(log_probs, out_lens, y, y_lens, reduction="mean")
 
     if inter_log_probs is not None:
-        inter_per_seq = ctc_loss(
-            inter_log_probs, out_lens, y, y_lens, reduction="none"
-        )
-        inter = (
-            jnp.mean(inter_per_seq) if label_smoothing > 0 else jnp.sum(inter_per_seq)
-        )
+        # With label smoothing off, the reference's loss_ctc already reduced
+        # to a length-normalized batch mean, making its torch.sum a no-op
+        # (:139-141,231-232) — so both branches are means, differing only in
+        # whether per-seq losses are length-normalized first.
+        if label_smoothing > 0:
+            inter = jnp.mean(
+                ctc_loss(inter_log_probs, out_lens, y, y_lens, reduction="none")
+            )
+        else:
+            inter = ctc_loss(
+                inter_log_probs, out_lens, y, y_lens, reduction="mean"
+            )
         w = args.get("interctc_weight", 0.3)
         loss = (1.0 - w) * main_loss + w * inter
         metrics["train/inter_ctc_loss"] = inter

@@ -97,6 +97,19 @@ def test_labels_buffer_and_offset():
     assert (ids[3:] == 0).all()
 
 
+def test_labels_overflow_truncates_with_warning():
+    import warnings as w
+
+    phones = ["B", "AE"] * 300  # 600 > MAX_SEQ_LEN
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter("always")
+        ids = labels_from_phonemes(phones)
+    assert rec and "truncated" in str(rec[0].message)
+    assert ids.shape == (MAX_SEQ_LEN,)
+    assert ids[MAX_SEQ_LEN - 1] == 0  # terminating zero always present
+    assert (ids[: MAX_SEQ_LEN - 1] > 0).all()
+
+
 def test_format_session_schema(tmp_path):
     path, *_ = make_mat(tmp_path)
     day = format_session(path, stub_g2p)

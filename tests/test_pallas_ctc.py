@@ -63,6 +63,25 @@ def test_grad_matches_optax():
     )
 
 
+def test_empty_target_matches_optax():
+    # Empty label: loss = -sum of blank log-probs; a single final state must
+    # not be double-counted (would understate NLL by log 2).
+    logits = np.random.default_rng(5).standard_normal((2, 8, 5)).astype(
+        np.float32
+    )
+    labels = np.zeros((2, 3), np.int32)
+    labels[1, :2] = [1, 2]
+    label_lens = np.array([0, 2], np.int32)
+    input_lens = np.array([8, 8], np.int32)
+    ours = ctc_loss_tpu(
+        jnp.asarray(logits), jnp.asarray(input_lens), jnp.asarray(labels),
+        jnp.asarray(label_lens), True,
+    )
+    ref = optax_ref(logits, input_lens, labels, label_lens)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-4,
+                               atol=1e-4)
+
+
 def test_repeated_labels_and_short_inputs():
     # repeats force the skip-transition mask; tight input length
     logits = np.random.default_rng(4).standard_normal((2, 10, 5)).astype(
