@@ -330,10 +330,10 @@ class GRUStreamer:
         Maintains the CTC collapse state (previous argmax token) across
         calls, so feeding chunk outputs one by one yields exactly the
         phoneme stream an offline argmax → collapse-repeats → drop-blank
-        pass would produce. Returns newly emitted label IDs per stream.
+        pass would produce. ``reset()`` clears the collapse state along with
+        the stream buffers (pinned by ``test_reset_decode_state``).
+        Returns newly emitted label IDs per stream.
         """
-        if not hasattr(self, "_decode_prev"):
-            self._decode_prev = np.full((self.batch,), -1, np.int64)
         out: list[list[int]] = [[] for _ in range(self.batch)]
         if logits.shape[1] == 0:
             return out

@@ -184,8 +184,36 @@ def _loss_and_metrics(args: dict, model: ModelAPI, params, batch_arrays, key):
     return loss, metrics
 
 
+def _path_name(k) -> str:
+    if hasattr(k, "key"):
+        return str(k.key)
+    if hasattr(k, "idx"):
+        return str(k.idx)
+    return str(k)
+
+
+def _tree_norms(tree, prefix: str) -> dict:
+    """Per-leaf L2 norms keyed by pytree path (e.g.
+    ``train/grad_norm/gru/layers/0/w_hh``)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {
+        f"{prefix}/" + "/".join(_path_name(k) for k in path): jnp.sqrt(
+            jnp.sum(jnp.square(leaf.astype(jnp.float32)))
+        )
+        for path, leaf in flat
+    }
+
+
+WATCH_PREFIXES = ("train/grad_norm/", "train/param_norm/")
+
+
 def make_train_step(args: dict, model: ModelAPI, tx) -> Callable:
     log_grad_norm = args.get("model_type", "gru_baseline") == "transformer_ctc"
+    # Per-layer grad/param norms — the reference's wandb.watch(log="all",
+    # log_freq=100) observability (neural_decoder_trainer.py:122). Computed
+    # on-device every step (a few hundred cheap reductions); the trainer
+    # only materializes them on the watch interval.
+    watch = int(args.get("watch_log_freq", 100)) > 0
 
     @partial(jax.jit, donate_argnums=0)
     def train_step(state, x, y, x_lens, y_lens, days, key):
@@ -198,6 +226,9 @@ def make_train_step(args: dict, model: ModelAPI, tx) -> Callable:
         if log_grad_norm:
             # torch clip_grad_norm_ returns the pre-clip norm (:257,270).
             metrics["train/grad_norm"] = optax.global_norm(grads)
+        if watch:
+            metrics.update(_tree_norms(grads, "train/grad_norm"))
+            metrics.update(_tree_norms(state["params"], "train/param_norm"))
         updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
         params = optax.apply_updates(state["params"], updates)
         new_state = {
@@ -400,11 +431,20 @@ def train_model(args: dict) -> dict:
         else None
     )
 
+    watch_freq = int(args.get("watch_log_freq", 100))
+
     def flush_metrics(pending):
         if pending is None:
             return
         held, at_step = pending
-        log_dict = {k: float(v) for k, v in held.items()}
+        # Per-layer watch norms only materialize on the watch interval (one
+        # host transfer); core scalars flush every step.
+        if not (watch_freq and at_step % watch_freq == 0):
+            held = {
+                k: v for k, v in held.items()
+                if not k.startswith(WATCH_PREFIXES)
+            }
+        log_dict = {k: float(v) for k, v in jax.device_get(held).items()}
         log_dict["train/learning_rate"] = float(schedule(at_step))
         log_dict["train/batch"] = at_step
         logger.log(log_dict, step=at_step)

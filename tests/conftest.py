@@ -19,4 +19,6 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+# NSD_TEST_PLATFORM=tpu runs the suite against the real chip (used for the
+# TPU-gated real-shape Pallas parity tests, which skip on CPU).
+jax.config.update("jax_platforms", os.environ.get("NSD_TEST_PLATFORM", "cpu"))

@@ -149,6 +149,111 @@ def test_streaming_rejects_bidirectional():
         GRUStreamer(params, cfg, day_idx=0)
 
 
+def test_reset_decode_state():
+    """reset() must clear the incremental CTC collapse state: decoding the
+    same stream twice around a reset yields identical phoneme output (the
+    carried previous-argmax token must not leak across utterances)."""
+    params, cfg = make_model()
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 60, cfg.neural_dim)).astype(np.float32)
+    s = GRUStreamer(params, cfg, day_idx=1, frames_per_chunk=1)
+
+    def run_once():
+        toks = []
+        for start in range(0, 60, 4):
+            toks += s.decode_greedy(s.process(x[:, start : start + 4]))[0]
+        toks += s.decode_greedy(s.flush())[0]
+        return toks
+
+    first = run_once()
+    s.reset()
+    second = run_once()
+    assert first == second
+    assert np.array_equal(
+        s._decode_prev, np.full((1,), -1, np.int64)
+    ) or s._decode_prev is not None  # state exists after use
+    s.reset()
+    np.testing.assert_array_equal(s._decode_prev, [-1])
+
+
+def test_causal_mode_accuracy_cost():
+    """Quantify the PER cost of causal=True (zero lookahead) vs the 10-bin
+    lookahead mode on a synthetic-trained unidirectional model.
+
+    The causal smoother renormalizes the past taps, so early recurrent state
+    differs from offline; the decoded stream should still be close. We gate
+    on the causal PER staying within an absolute band of the offline PER
+    rather than exact parity (the point of causal mode is latency, not
+    bit-exactness).
+    """
+    from neural_speech_decoder_tpu.data.synthetic import synthetic_dataset
+    from neural_speech_decoder_tpu.ops.decode import batch_per, greedy_decode
+    from neural_speech_decoder_tpu.training.trainer import (
+        build_model,
+        load_model,
+        train_model,
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        args = {
+            "outputDir": td,
+            "dataset": synthetic_dataset(
+                seed=0, n_days=2, trials_per_day=16, n_channels=12,
+                min_t=60, max_t=100, min_u=3, max_u=6, signal_scale=3.0,
+            ),
+            "batchSize": 8, "lrStart": 0.02, "lrEnd": 0.02,
+            "l2_decay": 1e-5, "nBatch": 120, "evalEvery": 60,
+            "whiteNoiseSD": 0.1, "constantOffsetSD": 0.02,
+            "gaussianSmoothWidth": 2.0, "nUnits": 48, "nLayers": 2,
+            "nInputFeatures": 12, "nClasses": 40, "dropout": 0.0,
+            "strideLen": 4, "kernelLen": 8, "bidirectional": False,
+            "seed": 0, "wandb_mode": "disabled", "time_multiple": 16,
+            "watch_log_freq": 0,
+        }
+        train_model(args)
+        params, model, _ = load_model(td, 2)
+    cfg = model.config
+
+    test_days = args["dataset"]["test"]
+
+    def stream_per(causal):
+        total_d, total_l = 0, 0
+        for day, trials in enumerate(test_days):
+            for feats, phones in zip(
+                trials["sentenceDat"], trials["phonemes"]
+            ):
+                s = GRUStreamer(
+                    params, cfg, day_idx=day, frames_per_chunk=1,
+                    causal=causal,
+                )
+                toks = []
+                x = np.asarray(feats, np.float32)[None]
+                for start in range(0, x.shape[1], 4):
+                    toks += s.decode_greedy(
+                        s.process(x[:, start : start + 4])
+                    )[0]
+                toks += s.decode_greedy(s.flush())[0]
+                ref = [p for p in np.asarray(phones).tolist() if p != 0]
+                toks_arr = np.asarray([toks + [0]], dtype=np.int64)
+                d, l = batch_per(
+                    toks_arr,
+                    np.asarray([len(toks)]),
+                    np.asarray([ref + [0]], dtype=np.int64),
+                    np.asarray([len(ref)]),
+                )
+                total_d += d
+                total_l += l
+        return total_d / max(total_l, 1)
+
+    per_offline = stream_per(causal=False)
+    per_causal = stream_per(causal=True)
+    print(f"streaming PER lookahead={per_offline:.3f} causal={per_causal:.3f}")
+    assert np.isfinite(per_causal)
+    # Causal mode trades the 200 ms lookahead for a bounded accuracy hit.
+    assert per_causal <= per_offline + 0.15
+
+
 def test_reset_reproduces():
     params, cfg = make_model()
     rng = np.random.default_rng(2)

@@ -68,10 +68,32 @@ def test_checkpoint_roundtrip_and_load_model(tmp_path):
 
 
 def test_artifacts_contract(tmp_path):
-    args = small_args(tmp_path, nBatch=11, evalEvery=10, wandb_mode="offline")
+    args = small_args(
+        tmp_path, nBatch=11, evalEvery=10, wandb_mode="offline",
+        watch_log_freq=10,
+    )
     train_model(args)
     run = tmp_path / "run"
     assert (run / "args").exists()
     assert (run / "trainingStats").exists()
     assert (run / "metrics.jsonl").exists()
     assert (run / "lastState").exists()
+    # wandb.watch parity (neural_decoder_trainer.py:122): per-layer grad and
+    # param norms appear on the watch interval, and only there.
+    import json
+
+    recs = [
+        json.loads(line)
+        for line in (run / "metrics.jsonl").read_text().splitlines()
+    ]
+    watch_steps = {
+        r["step"] for r in recs
+        if any(k.startswith("train/grad_norm/") for k in r)
+    }
+    assert watch_steps == {0, 10}
+    watched = next(r for r in recs if r["step"] == 10 and
+                   any(k.startswith("train/grad_norm/") for k in r))
+    assert "train/grad_norm/gru/layers/0/w_hh" in watched
+    assert "train/param_norm/fc/weight" in watched
+    assert all(np.isfinite(v) for k, v in watched.items()
+               if k.startswith("train/grad_norm/"))
