@@ -252,35 +252,42 @@ def gru_encode(
 
     out = x.astype(cdt)
     for li, lp in enumerate(layers):
+        # Input projections for all directions as ONE [M, K] x [K, 3H*D]
+        # matmul (concat directions on the output axis). The per-direction
+        # einsum form ("blf,dfk->bldk") lowers to a batched matmul that runs
+        # at ~36% of MXU peak on v5e; the flat form hits ~75% — measured
+        # 10.7 -> ~5 ms fwd+bwd per layer at reference scale.
+        w_cat = jnp.concatenate(
+            [lp["w_ih"][i].astype(cdt) for i in range(d)], axis=-1
+        )
         if li == 0:
-            # Fused unfold + input projection for all directions at once:
-            # weight [C*k, 3H*D] -> strided conv. Output [B, L, 3H*D].
-            w_cat = jnp.concatenate([lp["w_ih"][i] for i in range(d)], axis=-1)
+            # Layer 0 additionally fuses the unfold: strided conv
+            # [B,T,C] ⊛ [k,C,3H*D] instead of materializing [B,L,C*k].
             xp = unfold_matmul(out, w_cat, cfg.kernel_len, cfg.stride_len)
-            xp = xp.reshape(b, -1, d, 3 * h)
         else:
             xp = jnp.einsum(
-                "blf,dfk->bldk",
-                out,
-                lp["w_ih"].astype(cdt),
+                "blf,fk->blk", out, w_cat,
                 preferred_element_type=jnp.float32,
             )
+        xp = xp.reshape(b, -1, d, 3 * h)
         xp = (xp + lp["b_ih"][None, None, :, :]).astype(cdt)
         xp = jnp.transpose(xp, (1, 2, 0, 3))  # [L, D, B, 3H]
-        if d == 2:
-            xp = xp.at[:, 1].set(jnp.flip(xp[:, 1], axis=0))
         use_pallas = cfg.use_pallas
         if use_pallas is None:
             use_pallas = (
                 jax.default_backend() == "tpu" and h % 128 == 0 and b % 16 == 0
             )
         if use_pallas:
+            # Direction 1's time reversal happens inside the kernel's block
+            # index maps — no flip copies on either side.
             ys = gru_sequence(xp, lp["w_hh"], lp["b_hh"])  # [L, D, B, H]
         else:
+            if d == 2:
+                xp = xp.at[:, 1].set(jnp.flip(xp[:, 1], axis=0))
             h0 = jnp.zeros((d, b, h), xp.dtype)
             ys = _gru_layer(xp, lp["w_hh"], lp["b_hh"], h0)  # [L, D, B, H]
-        if d == 2:
-            ys = ys.at[:, 1].set(jnp.flip(ys[:, 1], axis=0))
+            if d == 2:
+                ys = ys.at[:, 1].set(jnp.flip(ys[:, 1], axis=0))
         out = jnp.transpose(ys, (2, 0, 1, 3)).reshape(b, ys.shape[0], d * h)
         if train and cfg.dropout > 0 and li < cfg.num_layers - 1:
             assert dropout_key is not None

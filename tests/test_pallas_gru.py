@@ -18,11 +18,19 @@ def _case(seed=0, l=6, d=2, b=16, h=128, dtype=np.float32):
     return xp, w, bb
 
 
+def _flip_d1(x):
+    """The kernel consumes/produces direction 1 in natural time order; the
+    lax.scan oracle expects/returns it pre-flipped."""
+    if x.shape[1] == 2:
+        return x.at[:, 1].set(jnp.flip(x[:, 1], axis=0))
+    return x
+
+
 @pytest.mark.parametrize("d", [1, 2])
 def test_forward_matches_scan(d):
     xp, w, bb = _case(d=d)
     h0 = jnp.zeros((d, xp.shape[2], w.shape[1]), xp.dtype)
-    ref = _gru_layer(xp, w, bb, h0)
+    ref = _flip_d1(_gru_layer(_flip_d1(xp), w, bb, h0))
     ours = gru_sequence(xp, w, bb, True)  # interpret mode
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
 
@@ -35,7 +43,7 @@ def test_gradients_match_scan():
     )
 
     def loss_ref(xp, w, bb):
-        return jnp.sum(_gru_layer(xp, w, bb, h0) * cot)
+        return jnp.sum(_flip_d1(_gru_layer(_flip_d1(xp), w, bb, h0)) * cot)
 
     def loss_pal(xp, w, bb):
         return jnp.sum(gru_sequence(xp, w, bb, True) * cot)
