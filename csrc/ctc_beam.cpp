@@ -8,7 +8,12 @@
 //     log-probs (blank id 0, SIL id 40 as the word delimiter),
 //   * ARPA backoff n-gram LM applied incrementally at word commits,
 //   * homophone branching, n-best extraction, acoustic scale /
-//     blank penalty / LM weight / word insertion penalty knobs.
+//     blank penalty / LM weight / word insertion penalty knobs,
+//   * optional OOV fallback: a parallel lexicon-free phone track entered
+//     at word boundaries, charged `oov_cost` per phone, committing `<unk>`
+//     at the next SIL (graceful degradation outside the lexicon — the
+//     capability the upstream WFST grammar provides via its phone loop),
+//   * batched decoding: OpenMP over utterances (`ctcb_decode_batch`).
 //
 // Semantics are defined by (and tested against) the Python oracle in
 // neural_speech_decoder_tpu/decoding/beam.py.
@@ -26,6 +31,10 @@
 #include <string>
 #include <unordered_map>
 #include <vector>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -204,6 +213,12 @@ struct ArpaLM {
     return ScoreBackoff(h, word);
   }
 
+  // For histories already trimmed to the last (order-1) ids.
+  double ScoreTrimmed(const std::vector<int>& h, int word) const {
+    if (word < 0) return std::log(1e-10);
+    return ScoreBackoff(h, word);
+  }
+
   double ScoreBackoff(std::vector<int> h, int word) const {
     double acc = 0.0;
     for (;;) {
@@ -253,12 +268,17 @@ struct Arena {
   }
 };
 
+// trie field values: >=0 = lexicon trie node (0 root); -1 = no lexicon;
+// -2 = OOV free-phone track (inside an out-of-lexicon word).
+constexpr int kTrieFree = -2;
+
 struct State {
   int phones = -1;  // arena node
   int words = -1;   // arena node
-  int trie = 0;     // trie node (0 = root; -1 = unconstrained mode)
+  int trie = 0;
   int last = -1;    // last phone id (-1 none)
   double lm = 0.0;
+  double pen = 0.0;  // accumulated lm_weight-independent penalties (OOV)
   double p_b = kNegInf, p_nb = kNegInf;
 
   double Total() const { return LogSum(p_b, p_nb); }
@@ -274,6 +294,8 @@ struct StateKeyHash {
   }
 };
 
+constexpr float kOovDisabled = 1e30f;
+
 struct Decoder {
   Lexicon lexicon;
   ArpaLM lm;
@@ -285,20 +307,56 @@ struct Decoder {
   float lm_weight = 1.0f;
   float word_ins_penalty = 0.0f;
   int top_k_tokens = 12;
+  // Additive per-phone score delta inside an OOV word (negative penalizes;
+  // kOovDisabled turns the fallback track off entirely).
+  float oov_cost = kOovDisabled;
+  int unk_wid = -1;  // lexicon word id of "<unk>" when OOV is enabled
+  // lexicon word id -> LM vocab id, precomputed at create (avoids string
+  // hashing on every LM score call — the decode hot path).
+  std::vector<int> lex2lm;
 
-  Arena phones_arena, words_arena;
+  bool OovEnabled() const { return oov_cost < kOovDisabled; }
+
+  void BuildLex2Lm() {
+    lex2lm.resize(lexicon.words.size());
+    for (size_t i = 0; i < lexicon.words.size(); ++i)
+      lex2lm[i] = has_lm ? lm.WordId(lexicon.words[i]) : -1;
+  }
 
   double Combined(const State& s, int n_words) const {
-    return s.Total() + lm_weight * s.lm + word_ins_penalty * n_words;
+    return s.Total() + lm_weight * s.lm + word_ins_penalty * n_words + s.pen;
   }
 
-  std::vector<int> WordHistory(int words_node) const {
-    std::vector<int> hist;
-    if (has_lm && lm.bos >= 0) hist.push_back(lm.bos);
-    for (int wid : words_arena.Materialize(words_node))
-      hist.push_back(lm.WordId(lexicon.words[wid]));
-    return hist;
-  }
+  // Per-decode incremental LM-history cache: maps a words-arena node to the
+  // last (order-1) LM word ids of its history (BOS-prefixed). Arena ids are
+  // dense and append-only, so a flat vector indexed by node+1 works; entry
+  // 0 is the empty history.
+  struct HistCache {
+    std::vector<std::vector<int>> hist;  // index: words_node + 1
+    const Decoder* d;
+    const Arena* arena;
+
+    const std::vector<int>& Get(int node) {
+      size_t idx = static_cast<size_t>(node + 1);
+      if (idx < hist.size() && (idx == 0 || !hist[idx].empty() ||
+                                d->lm.order <= 1))
+        return hist[idx];
+      if (hist.size() <= idx) hist.resize(arena->nodes.size() + 1);
+      if (node < 0) {
+        if (d->lm.bos >= 0) hist[0] = {d->lm.bos};
+        return hist[0];
+      }
+      const ChainNode& cn = arena->nodes[node];
+      std::vector<int> h = Get(cn.parent);  // copy
+      h.push_back(d->lex2lm[cn.value]);
+      int keep = d->lm.order > 1 ? d->lm.order - 1 : 0;
+      if (static_cast<int>(h.size()) > keep)
+        h.erase(h.begin(), h.end() - keep);
+      if (hist.size() <= idx) hist.resize(idx + 1);
+      hist[idx] = std::move(h);
+      return hist[idx];
+    }
+  };
 
   struct Hyp {
     std::vector<int> phones;
@@ -306,10 +364,12 @@ struct Decoder {
     double score, ac, lm;
   };
 
+  // const + local arenas: safe to call concurrently from many threads on
+  // the same (shared, read-only) lexicon/LM.
   std::vector<Hyp> Decode(const float* logprobs, int T, int K,
-                          float blank_penalty) {
-    phones_arena.Clear();
-    words_arena.Clear();
+                          float blank_penalty) const {
+    Arena phones_arena, words_arena;
+    HistCache hc{{}, this, &words_arena};
 
     using Key = std::tuple<int, int, int>;
     std::unordered_map<Key, State, StateKeyHash> states;
@@ -335,7 +395,7 @@ struct Decoder {
 
       std::unordered_map<Key, State, StateKeyHash> next;
       auto upd = [&](int phn, int wrd, int trie, int last, double lmsc,
-                     double pb, double pnb) {
+                     double pen, double pb, double pnb) {
         Key key{phn, wrd, trie};
         auto it = next.find(key);
         if (it == next.end()) {
@@ -345,6 +405,7 @@ struct Decoder {
           s.trie = trie;
           s.last = last;
           s.lm = lmsc;
+          s.pen = pen;
           s.p_b = pb;
           s.p_nb = pnb;
           next[key] = s;
@@ -357,15 +418,15 @@ struct Decoder {
       for (auto& [key, s] : states) {
         double tot = s.Total();
         // 1. blank
-        upd(s.phones, s.words, s.trie, s.last, s.lm, tot + frame[kBlank],
-            kNegInf);
+        upd(s.phones, s.words, s.trie, s.last, s.lm, s.pen,
+            tot + frame[kBlank], kNegInf);
         for (int ci = 0; ci < kk; ++ci) {
           int c = order[ci];
           if (c == kBlank) continue;
           double src;
           if (c == s.last) {
             // 2. repeat (same prefix)
-            upd(s.phones, s.words, s.trie, s.last, s.lm, kNegInf,
+            upd(s.phones, s.words, s.trie, s.last, s.lm, s.pen, kNegInf,
                 s.p_nb + frame[c]);
             src = s.p_b;
           } else {
@@ -375,32 +436,54 @@ struct Decoder {
           // 3. extension
           if (!has_lexicon) {
             int pn = phones_arena.Extend(s.phones, c);
-            upd(pn, s.words, -1, c, s.lm, kNegInf, src + frame[c]);
+            upd(pn, s.words, -1, c, s.lm, s.pen, kNegInf, src + frame[c]);
             continue;
           }
           if (c == kSil) {
             if (s.trie == 0) {
               int pn = phones_arena.Extend(s.phones, c);
-              upd(pn, s.words, 0, c, s.lm, kNegInf, src + frame[c]);
+              upd(pn, s.words, 0, c, s.lm, s.pen, kNegInf, src + frame[c]);
+            } else if (s.trie == kTrieFree) {
+              // OOV word ends: commit <unk>
+              int pn = phones_arena.Extend(s.phones, c);
+              double lm_inc =
+                  has_lm ? lm.ScoreTrimmed(hc.Get(s.words), lm.unk) : 0.0;
+              int wn = words_arena.Extend(s.words, unk_wid);
+              upd(pn, wn, 0, c, s.lm + lm_inc, s.pen, kNegInf,
+                  src + frame[c]);
             } else if (!lexicon.nodes[s.trie].words.empty()) {
               int pn = phones_arena.Extend(s.phones, c);
               for (int wid : lexicon.nodes[s.trie].words) {
                 double lm_inc = 0.0;
                 if (has_lm) {
-                  lm_inc = lm.Score(WordHistory(s.words),
-                                    lm.WordId(lexicon.words[wid]));
+                  lm_inc = lm.ScoreTrimmed(hc.Get(s.words), lex2lm[wid]);
                 }
                 int wn = words_arena.Extend(s.words, wid);
-                upd(pn, wn, 0, c, s.lm + lm_inc, kNegInf, src + frame[c]);
+                upd(pn, wn, 0, c, s.lm + lm_inc, s.pen, kNegInf,
+                    src + frame[c]);
               }
             }
             // mid-word SIL with no completed word: disallowed
           } else {
-            auto child = lexicon.nodes[s.trie].next.find(c);
-            if (child != lexicon.nodes[s.trie].next.end()) {
+            if (s.trie == kTrieFree) {
+              // continue the OOV word with any phone
               int pn = phones_arena.Extend(s.phones, c);
-              upd(pn, s.words, child->second, c, s.lm, kNegInf,
+              upd(pn, s.words, kTrieFree, c, s.lm, s.pen + oov_cost, kNegInf,
                   src + frame[c]);
+            } else {
+              auto child = lexicon.nodes[s.trie].next.find(c);
+              if (child != lexicon.nodes[s.trie].next.end()) {
+                int pn = phones_arena.Extend(s.phones, c);
+                upd(pn, s.words, child->second, c, s.lm, s.pen, kNegInf,
+                    src + frame[c]);
+              }
+              if (OovEnabled() && s.trie == 0) {
+                // start an OOV word (parallel free-phone track from the
+                // word boundary)
+                int pn = phones_arena.Extend(s.phones, c);
+                upd(pn, s.words, kTrieFree, c, s.lm, s.pen + oov_cost,
+                    kNegInf, src + frame[c]);
+              }
             }
           }
         }
@@ -432,13 +515,21 @@ struct Decoder {
       std::vector<State> cands;
       if (!has_lexicon || s.trie == 0) {
         cands.push_back(s);
+      } else if (s.trie == kTrieFree) {
+        // trailing OOV word: commit <unk> without a final SIL
+        State c = s;
+        double lm_inc =
+            has_lm ? lm.ScoreTrimmed(hc.Get(s.words), lm.unk) : 0.0;
+        c.words = words_arena.Extend(s.words, unk_wid);
+        c.trie = 0;
+        c.lm = s.lm + lm_inc;
+        cands.push_back(c);
       } else if (!lexicon.nodes[s.trie].words.empty()) {
         for (int wid : lexicon.nodes[s.trie].words) {
           State c = s;
           double lm_inc = 0.0;
           if (has_lm)
-            lm_inc = lm.Score(WordHistory(s.words),
-                              lm.WordId(lexicon.words[wid]));
+            lm_inc = lm.ScoreTrimmed(hc.Get(s.words), lex2lm[wid]);
           c.words = words_arena.Extend(s.words, wid);
           c.trie = 0;
           c.lm = s.lm + lm_inc;
@@ -450,11 +541,12 @@ struct Decoder {
       for (auto& c : cands) {
         double lm_total = c.lm;
         if (has_lm && lm.eos >= 0)
-          lm_total += lm.Score(WordHistory(c.words), lm.eos);
+          lm_total += lm.ScoreTrimmed(hc.Get(c.words), lm.eos);
         double ac = c.Total();
         std::vector<int> wids = words_arena.Materialize(c.words);
         double score = ac + lm_weight * lm_total +
-                       word_ins_penalty * static_cast<double>(wids.size());
+                       word_ins_penalty * static_cast<double>(wids.size()) +
+                       c.pen;
         finals.push_back(
             {phones_arena.Materialize(c.phones), wids, score, ac, lm_total});
       }
@@ -477,6 +569,36 @@ struct Decoder {
   }
 };
 
+// Shared hypothesis write-out. Returns count, or -2 on words overflow.
+int WriteHyps(const Decoder& d, const std::vector<Decoder::Hyp>& hyps,
+              int phones_stride, int32_t* out_phones, int32_t* out_phone_lens,
+              char* out_words, int words_buf, float* out_scores,
+              float* out_ac, float* out_lm) {
+  int n = static_cast<int>(hyps.size());
+  int wpos = 0;
+  for (int i = 0; i < n; ++i) {
+    const auto& h = hyps[i];
+    out_phone_lens[i] = static_cast<int32_t>(h.phones.size());
+    for (size_t j = 0;
+         j < h.phones.size() && j < static_cast<size_t>(phones_stride); ++j)
+      out_phones[i * phones_stride + j] = h.phones[j];
+    out_scores[i] = static_cast<float>(h.score);
+    out_ac[i] = static_cast<float>(h.ac);
+    out_lm[i] = static_cast<float>(h.lm);
+    std::string joined;
+    for (size_t j = 0; j < h.words.size(); ++j) {
+      if (j) joined += '\n';
+      joined += d.lexicon.words[h.words[j]];
+    }
+    joined += '\x1e';
+    if (wpos + static_cast<int>(joined.size()) >= words_buf) return -2;
+    std::memcpy(out_words + wpos, joined.data(), joined.size());
+    wpos += static_cast<int>(joined.size());
+  }
+  if (wpos < words_buf) out_words[wpos] = '\0';
+  return n;
+}
+
 }  // namespace
 
 // ------------------------------------------------------------------ C API --
@@ -484,7 +606,8 @@ extern "C" {
 
 void* ctcb_create(const char* lexicon_path, const char* arpa_path,
                   float acoustic_scale, int nbest, float beam, int max_active,
-                  float lm_weight, float word_ins_penalty, int top_k_tokens) {
+                  float lm_weight, float word_ins_penalty, int top_k_tokens,
+                  float oov_cost) {
   auto* d = new Decoder();
   d->acoustic_scale = acoustic_scale;
   d->nbest = nbest;
@@ -493,6 +616,7 @@ void* ctcb_create(const char* lexicon_path, const char* arpa_path,
   d->lm_weight = lm_weight;
   d->word_ins_penalty = word_ins_penalty;
   d->top_k_tokens = top_k_tokens;
+  d->oov_cost = oov_cost;
   if (lexicon_path && lexicon_path[0]) {
     if (!d->lexicon.Load(lexicon_path)) {
       delete d;
@@ -507,6 +631,17 @@ void* ctcb_create(const char* lexicon_path, const char* arpa_path,
     }
     d->has_lm = true;
   }
+  if (d->OovEnabled() && d->has_lexicon) {
+    auto it = d->lexicon.word_ids.find("<unk>");
+    if (it == d->lexicon.word_ids.end()) {
+      d->unk_wid = static_cast<int>(d->lexicon.words.size());
+      d->lexicon.words.push_back("<unk>");
+      d->lexicon.word_ids["<unk>"] = d->unk_wid;
+    } else {
+      d->unk_wid = it->second;
+    }
+  }
+  d->BuildLex2Lm();
   return d;
 }
 
@@ -522,28 +657,46 @@ int ctcb_decode(void* handle, const float* logprobs, int T, int K,
   if (!handle) return -1;
   auto* d = static_cast<Decoder*>(handle);
   auto hyps = d->Decode(logprobs, T, K, blank_penalty);
-  int n = static_cast<int>(hyps.size());
-  int wpos = 0;
-  for (int i = 0; i < n; ++i) {
-    const auto& h = hyps[i];
-    out_phone_lens[i] = static_cast<int32_t>(h.phones.size());
-    for (size_t j = 0; j < h.phones.size() && j < static_cast<size_t>(T); ++j)
-      out_phones[i * T + j] = h.phones[j];
-    out_scores[i] = static_cast<float>(h.score);
-    out_ac[i] = static_cast<float>(h.ac);
-    out_lm[i] = static_cast<float>(h.lm);
-    std::string joined;
-    for (size_t j = 0; j < h.words.size(); ++j) {
-      if (j) joined += '\n';
-      joined += d->lexicon.words[h.words[j]];
-    }
-    joined += '\x1e';
-    if (wpos + static_cast<int>(joined.size()) >= words_buf) return -2;
-    std::memcpy(out_words + wpos, joined.data(), joined.size());
-    wpos += static_cast<int>(joined.size());
+  return WriteHyps(*d, hyps, T, out_phones, out_phone_lens, out_words,
+                   words_buf, out_scores, out_ac, out_lm);
+}
+
+// Batched decode: N utterances, padded to T_max frames; t_lens[i] gives the
+// real frame count. OpenMP-parallel over utterances (the decoder object is
+// read-only during decode). Per-utterance outputs are strided:
+//   out_phones:      [N, nbest, T_max]
+//   out_phone_lens:  [N, nbest]
+//   out_counts:      [N]   (hyp count, or -2 on words-buffer overflow)
+//   out_words:       [N, words_stride] bytes
+//   out_scores/ac/lm:[N, nbest]
+// Returns 0, or -1 on bad args.
+int ctcb_decode_batch(void* handle, const float* logprobs,
+                      const int32_t* t_lens, int N, int T_max, int K,
+                      float blank_penalty, int n_threads, int32_t* out_phones,
+                      int32_t* out_phone_lens, int32_t* out_counts,
+                      char* out_words, int words_stride, float* out_scores,
+                      float* out_ac, float* out_lm) {
+  if (!handle || N < 0) return -1;
+  auto* d = static_cast<Decoder*>(handle);
+  const int nb = d->nbest;
+#ifdef _OPENMP
+  if (n_threads <= 0) n_threads = omp_get_max_threads();
+#pragma omp parallel for num_threads(n_threads) schedule(dynamic, 1)
+#endif
+  for (int i = 0; i < N; ++i) {
+    int t = t_lens ? t_lens[i] : T_max;
+    if (t > T_max) t = T_max;
+    auto hyps = d->Decode(logprobs + static_cast<int64_t>(i) * T_max * K, t,
+                          K, blank_penalty);
+    out_counts[i] = WriteHyps(
+        *d, hyps, T_max, out_phones + static_cast<int64_t>(i) * nb * T_max,
+        out_phone_lens + static_cast<int64_t>(i) * nb,
+        out_words + static_cast<int64_t>(i) * words_stride, words_stride,
+        out_scores + static_cast<int64_t>(i) * nb,
+        out_ac + static_cast<int64_t>(i) * nb,
+        out_lm + static_cast<int64_t>(i) * nb);
   }
-  if (wpos < words_buf) out_words[wpos] = '\0';
-  return n;
+  return 0;
 }
 
 void ctcb_free(void* handle) { delete static_cast<Decoder*>(handle); }

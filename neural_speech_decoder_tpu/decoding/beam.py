@@ -32,6 +32,10 @@ from .lexicon import ArpaLM, Lexicon, TrieNode
 SIL_ID = phone_to_id("SIL") + 1  # 40
 NEG_INF = -1e30
 
+# Sentinel trie position: inside an out-of-lexicon word (OOV free-phone
+# track). Matches kTrieFree in csrc/ctc_beam.cpp.
+FREE_NODE = TrieNode()
+
 
 def _logsum(a: float, b: float) -> float:
     if a < b:
@@ -47,6 +51,7 @@ class _State:
     words: tuple[int, ...] = ()
     node: TrieNode | None = None  # current trie position (None = no lexicon)
     lm: float = 0.0
+    pen: float = 0.0  # lm_weight-independent penalties (OOV per-phone cost)
     p_b: float = NEG_INF  # ends in blank
     p_nb: float = NEG_INF  # ends in non-blank
 
@@ -76,17 +81,37 @@ def beam_search(
     max_active: int = 200,
     nbest: int = 10,
     top_k_tokens: int = 12,
+    oov_cost: float | None = None,
 ) -> list[Hypothesis]:
-    """Decode one utterance. ``log_probs``: [T, K], blank at 0."""
+    """Decode one utterance. ``log_probs``: [T, K], blank at 0.
+
+    ``oov_cost``: when set (typically negative), enables the OOV fallback
+    track — out-of-lexicon words may be hypothesized phone-by-phone from a
+    word boundary at ``oov_cost`` score per phone, committing ``<unk>``.
+    """
     lp = np.asarray(log_probs, np.float64) * acoustic_scale
     lp[:, 0] -= blank_penalty
     t_max, k = lp.shape
     root = lexicon.root if lexicon is not None else None
+    oov_on = oov_cost is not None and root is not None
+    unk_wid = -1
+    if oov_on:
+        unk_wid = lexicon.word_ids.get("<unk>")
+        if unk_wid is None:
+            unk_wid = len(lexicon.words)
+            lexicon.words.append("<unk>")
+            lexicon.word_ids["<unk>"] = unk_wid
 
     init = _State(node=root, p_b=0.0)
     states: dict[tuple, _State] = {_key(init): init}
 
     bos = (lm.vocab["<s>"],) if lm is not None and "<s>" in lm.vocab else ()
+
+    def unk_lm_inc(words: tuple[int, ...]) -> float:
+        if lm is None:
+            return 0.0
+        hist = bos + tuple(lm.word_id(lexicon.words[w]) for w in words)
+        return lm.score(hist, lm.vocab.get("<unk>", -1))
 
     for t in range(t_max):
         frame = lp[t]
@@ -110,7 +135,7 @@ def beam_search(
             last = s.phones[-1] if s.phones else -1
             # 1. blank
             upd(
-                _State(s.phones, s.words, s.node, s.lm),
+                _State(s.phones, s.words, s.node, s.lm, s.pen),
                 pb=tot + frame[0],
             )
             for c in order:
@@ -120,7 +145,7 @@ def beam_search(
                 # 2. repeat of last phone (stays same prefix)
                 if c == last:
                     upd(
-                        _State(s.phones, s.words, s.node, s.lm),
+                        _State(s.phones, s.words, s.node, s.lm, s.pen),
                         pnb=s.p_nb + frame[c],
                     )
                     src = s.p_b  # extension only from blank-ended mass
@@ -131,16 +156,28 @@ def beam_search(
                 # 3. extension with phone c
                 if root is None:
                     upd(
-                        _State(s.phones + (c,), s.words, None, s.lm),
+                        _State(s.phones + (c,), s.words, None, s.lm, s.pen),
                         pnb=src + frame[c],
                     )
                     continue
                 if c == SIL_ID:
-                    at_root = s.node is root
-                    if at_root:
+                    if s.node is root:
                         # inter/leading silence, no word commit
                         upd(
-                            _State(s.phones + (c,), s.words, root, s.lm),
+                            _State(s.phones + (c,), s.words, root, s.lm,
+                                   s.pen),
+                            pnb=src + frame[c],
+                        )
+                    elif s.node is FREE_NODE:
+                        # OOV word ends: commit <unk>
+                        upd(
+                            _State(
+                                s.phones + (c,),
+                                s.words + (unk_wid,),
+                                root,
+                                s.lm + unk_lm_inc(s.words),
+                                s.pen,
+                            ),
                             pnb=src + frame[c],
                         )
                     elif s.node.words:
@@ -160,37 +197,44 @@ def beam_search(
                                     s.words + (wid,),
                                     root,
                                     s.lm + lm_inc,
+                                    s.pen,
                                 ),
                                 pnb=src + frame[c],
                             )
                     # mid-word SIL with no completed word: disallowed
+                elif s.node is FREE_NODE:
+                    # continue the OOV word with any phone
+                    upd(
+                        _State(s.phones + (c,), s.words, FREE_NODE, s.lm,
+                               s.pen + oov_cost),
+                        pnb=src + frame[c],
+                    )
                 else:
                     child = s.node.children.get(c)
                     if child is not None:
                         upd(
-                            _State(s.phones + (c,), s.words, child, s.lm),
+                            _State(s.phones + (c,), s.words, child, s.lm,
+                                   s.pen),
+                            pnb=src + frame[c],
+                        )
+                    if oov_on and s.node is root:
+                        # start an OOV word from the word boundary
+                        upd(
+                            _State(s.phones + (c,), s.words, FREE_NODE, s.lm,
+                                   s.pen + oov_cost),
                             pnb=src + frame[c],
                         )
         # prune: score beam + max_active
-        scored = sorted(
-            nxt.values(),
-            key=lambda s: s.total() + lm_weight * s.lm
-            + word_insertion_penalty * len(s.words),
-            reverse=True,
-        )
-        if scored:
-            best = (
-                scored[0].total()
-                + lm_weight * scored[0].lm
-                + word_insertion_penalty * len(scored[0].words)
+        def rank(s: _State) -> float:
+            return (
+                s.total() + lm_weight * s.lm
+                + word_insertion_penalty * len(s.words) + s.pen
             )
-            scored = [
-                s
-                for s in scored
-                if s.total() + lm_weight * s.lm
-                + word_insertion_penalty * len(s.words)
-                > best - beam
-            ]
+
+        scored = sorted(nxt.values(), key=rank, reverse=True)
+        if scored:
+            best = rank(scored[0])
+            scored = [s for s in scored if rank(s) > best - beam]
         states = {_key(s): s for s in scored[:max_active]}
 
     # finalize: commit trailing complete words without SIL; add </s>.
@@ -198,6 +242,12 @@ def beam_search(
     for s in states.values():
         if root is None or s.node is root:
             cands = [s]
+        elif s.node is FREE_NODE:  # trailing OOV word: commit <unk>
+            cands = [
+                _State(s.phones, s.words + (unk_wid,), root,
+                       s.lm + unk_lm_inc(s.words), s.pen,
+                       p_b=s.p_b, p_nb=s.p_nb)
+            ]
         elif s.node.words:  # mid-trie but at a word end: commit each reading
             cands = []
             for wid in s.node.words:
@@ -209,7 +259,7 @@ def beam_search(
                     lm_inc = lm.score(hist, lm.word_id(lexicon.words[wid]))
                 cands.append(
                     _State(s.phones, s.words + (wid,), root, s.lm + lm_inc,
-                           p_b=s.p_b, p_nb=s.p_nb)
+                           s.pen, p_b=s.p_b, p_nb=s.p_nb)
                 )
         else:  # incomplete word: not a valid final
             continue
@@ -225,6 +275,7 @@ def beam_search(
                 ac
                 + lm_weight * lm_total
                 + word_insertion_penalty * len(c.words)
+                + c.pen
             )
             finals.append(
                 Hypothesis(

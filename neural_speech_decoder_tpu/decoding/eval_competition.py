@@ -108,27 +108,38 @@ def run_pipeline(
     nbest: int = 100,
     beam: float = 18.0,
     lm_weight: float = 1.0,
+    oov_cost: float | None = None,
     llm_scorer=None,
     alpha: float = 0.5,
     length_penalty: float = 0.0,
     return_ci: bool = True,
     verbose: bool = True,
+    n_threads: int = 0,
 ) -> dict:
     """Beam+LM decode each utterance, rescore n-best, compute WER/CER/PER."""
     from ..ops.decode import edit_distance
-    from .lm_decoder import build_lm_decoder, lm_decode
+    from .lm_decoder import build_lm_decoder, lm_decode_batch
     from .rescore import evaluate_transcripts, rescore_nbest
 
     decoder = build_lm_decoder(
         lexicon_path, arpa_path, acoustic_scale, nbest, beam,
-        lm_weight=lm_weight,
+        lm_weight=lm_weight, oov_cost=oov_cost,
     )
     start = time.time()
-    nbest_lists = []
-    for lp in outputs["logits"]:
-        nbest_lists.append(
-            lm_decode(decoder, lp, blank_penalty=blank_penalty)
-        )
+    # One padded [N, T_max, K] batch; the native engine decodes utterances
+    # OpenMP-parallel (the reference's loop is strictly serial —
+    # eval_competition.py:110-119).
+    logits = outputs["logits"]
+    n = len(logits)
+    t_lens = np.asarray([lp.shape[0] for lp in logits], np.int32)
+    t_max = int(t_lens.max()) if n else 0
+    padded = np.zeros((n, t_max, logits[0].shape[-1] if n else 41), np.float32)
+    for i, lp in enumerate(logits):
+        padded[i, : lp.shape[0]] = lp
+    nbest_lists = lm_decode_batch(
+        decoder, padded, t_lens, blank_penalty=blank_penalty,
+        n_threads=n_threads,
+    )
     per_sample = (time.time() - start) / max(len(outputs["logits"]), 1)
     if verbose:
         print(f"beam decoding took {per_sample:.4f} seconds per sample")
@@ -173,6 +184,11 @@ def main() -> None:
     parser.add_argument("--nbest", type=int, default=100)
     parser.add_argument("--beam", type=float, default=18.0)
     parser.add_argument("--alpha", type=float, default=0.5)
+    parser.add_argument("--oovCost", type=float, default=None,
+                        help="per-phone OOV fallback score (e.g. -4.0); "
+                             "unset = lexicon-strict decoding")
+    parser.add_argument("--decodeThreads", type=int, default=0,
+                        help="OpenMP threads for batched decode (0 = all)")
     args = parser.parse_args()
 
     outputs = collect_model_outputs(
@@ -197,8 +213,10 @@ def main() -> None:
         blank_penalty=args.blankPenalty,
         nbest=args.nbest,
         beam=args.beam,
+        oov_cost=args.oovCost,
         llm_scorer=llm_scorer,
         alpha=args.alpha,
+        n_threads=args.decodeThreads,
     )
     print(result["cer"], result["wer"])
     out = {k: v for k, v in result.items() if k != "nbest"}

@@ -45,7 +45,7 @@ def _load_lib():
     lib.ctcb_create.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_float, ctypes.c_int,
         ctypes.c_float, ctypes.c_int, ctypes.c_float, ctypes.c_float,
-        ctypes.c_int,
+        ctypes.c_int, ctypes.c_float,
     ]
     lib.ctcb_decode.restype = ctypes.c_int
     lib.ctcb_decode.argtypes = [
@@ -57,8 +57,24 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float),
     ]
+    lib.ctcb_decode_batch.restype = ctypes.c_int
+    lib.ctcb_decode_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_char), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
     lib.ctcb_free.argtypes = [ctypes.c_void_p]
     return lib
+
+
+# Sentinel matching kOovDisabled in csrc/ctc_beam.cpp.
+_OOV_DISABLED = 1e30
 
 
 _LIB = None
@@ -85,6 +101,7 @@ class LMDecoder:
     lm_weight: float
     word_ins_penalty: float
     top_k_tokens: int
+    oov_cost: float | None = None
     _py_lexicon: Lexicon | None = None
     _py_lm: ArpaLM | None = None
 
@@ -107,10 +124,16 @@ def build_lm_decoder(
     lm_weight: float = 1.0,
     word_ins_penalty: float = 0.0,
     top_k_tokens: int = 12,
+    oov_cost: float | None = None,
     force_python: bool = False,
 ) -> LMDecoder:
     """Create a decoder. Parameter names/defaults mirror the reference call
-    ``build_lm_decoder(lmDir, acoustic_scale=0.5, nbest=100, beam=18)``."""
+    ``build_lm_decoder(lmDir, acoustic_scale=0.5, nbest=100, beam=18)``.
+
+    ``oov_cost`` (typically negative, e.g. -4.0) enables the OOV fallback
+    track: out-of-lexicon words decode phone-by-phone at that score per
+    phone and surface as ``<unk>``.
+    """
     handle = None
     if not force_python and native_available():
         handle = _LIB.ctcb_create(
@@ -118,6 +141,7 @@ def build_lm_decoder(
             arpa_path.encode() if arpa_path else None,
             acoustic_scale, nbest, beam, max_active, lm_weight,
             word_ins_penalty, top_k_tokens,
+            _OOV_DISABLED if oov_cost is None else oov_cost,
         )
         if not handle:
             raise RuntimeError(
@@ -134,6 +158,7 @@ def build_lm_decoder(
         lm_weight=lm_weight,
         word_ins_penalty=word_ins_penalty,
         top_k_tokens=top_k_tokens,
+        oov_cost=oov_cost,
     )
     if handle is None:
         dec._py_lexicon = (
@@ -166,6 +191,7 @@ def lm_decode(
             max_active=decoder.max_active,
             nbest=decoder.nbest,
             top_k_tokens=decoder.top_k_tokens,
+            oov_cost=decoder.oov_cost,
         )
         return hyps if return_nbest else hyps[:1]
 
@@ -203,6 +229,82 @@ def lm_decode(
             )
         )
     return hyps if return_nbest else hyps[:1]
+
+
+def lm_decode_batch(
+    decoder: LMDecoder,
+    log_probs: np.ndarray,
+    t_lens: np.ndarray | None = None,
+    *,
+    blank_penalty: float = 0.0,
+    n_threads: int = 0,
+    words_stride: int = 1 << 20,
+) -> list[list[Hypothesis]]:
+    """Decode ``[N, T_max, K]`` log-probs, OpenMP-parallel over utterances.
+
+    ``t_lens[i]`` gives each utterance's real frame count (None = all
+    T_max). ``n_threads=0`` uses all cores. Falls back to a serial loop on
+    the Python oracle when the native library is unavailable.
+    """
+    lp = np.ascontiguousarray(log_probs, dtype=np.float32)
+    n, t_max, k = lp.shape
+    lens = (
+        np.full((n,), t_max, np.int32)
+        if t_lens is None
+        else np.ascontiguousarray(t_lens, dtype=np.int32)
+    )
+    if decoder.handle is None:
+        return [
+            lm_decode(decoder, lp[i, : lens[i]], blank_penalty=blank_penalty)
+            for i in range(n)
+        ]
+
+    nb = decoder.nbest
+    out_phones = np.zeros((n, nb, t_max), np.int32)
+    out_lens = np.zeros((n, nb), np.int32)
+    out_counts = np.zeros((n,), np.int32)
+    words_buf = ctypes.create_string_buffer(n * words_stride)
+    scores = np.zeros((n, nb), np.float32)
+    ac = np.zeros((n, nb), np.float32)
+    lm = np.zeros((n, nb), np.float32)
+    rc = _LIB.ctcb_decode_batch(
+        ctypes.c_void_p(decoder.handle),
+        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n, t_max, k, blank_penalty, n_threads,
+        out_phones.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.cast(words_buf, ctypes.POINTER(ctypes.c_char)), words_stride,
+        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ac.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        lm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if rc < 0:
+        raise RuntimeError(f"native batch decode failed (code {rc})")
+    results: list[list[Hypothesis]] = []
+    for i in range(n):
+        count = int(out_counts[i])
+        if count < 0:
+            raise RuntimeError(
+                f"utterance {i}: words buffer overflow (code {count})"
+            )
+        raw = words_buf.raw[i * words_stride : (i + 1) * words_stride]
+        raw_words = raw.split(b"\x1e")
+        hyps = []
+        for j in range(count):
+            wtxt = raw_words[j].decode() if j < len(raw_words) else ""
+            hyps.append(
+                Hypothesis(
+                    phones=list(out_phones[i, j, : out_lens[i, j]]),
+                    words=[w for w in wtxt.split("\n") if w],
+                    score=float(scores[i, j]),
+                    ac_score=float(ac[i, j]),
+                    lm_score=float(lm[i, j]),
+                )
+            )
+        results.append(hyps)
+    return results
 
 
 def rearrange_speech_logits(logits: np.ndarray, *, blank_last: bool = True):

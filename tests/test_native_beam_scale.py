@@ -1,6 +1,7 @@
 """Native decoder vs oracle at larger scale (bigger lexicon, longer T)."""
 
 import math
+import os
 
 import numpy as np
 import pytest
@@ -58,6 +59,43 @@ def test_large_random_case_matches_oracle(tmp_path):
     for a, b in zip(h_nat, h_py):
         assert a.phones == b.phones and a.words == b.words
         assert abs(a.score - b.score) < 2e-3
+
+
+def test_big_lexicon_reference_operating_point(tmp_path):
+    """Native decode at the reference hyperparameters (nbest=100, beam=18,
+    blank penalty ln 7 — reference eval_competition.py:89-116) on a
+    generated large lexicon + trigram ARPA (scripts/gen_decode_artifacts.py
+    at full scale; scaled to 8k words here to keep the test fast)."""
+    import subprocess
+    import sys
+    import time
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    subprocess.run(
+        [sys.executable, os.path.join(root, "scripts/gen_decode_artifacts.py"),
+         "--out", str(tmp_path), "--n-words", "8000", "--order", "3",
+         "--n-bigrams", "40000", "--n-trigrams", "80000"],
+        check=True, capture_output=True,
+    )
+    dec = build_lm_decoder(
+        str(tmp_path / "lexicon.txt"), str(tmp_path / "lm_3gram.arpa"),
+        acoustic_scale=0.5, nbest=100, beam=18.0, max_active=200,
+        oov_cost=-4.0,
+    )
+    rng = np.random.default_rng(0)
+    t, k = 313, 41
+    x = rng.standard_normal((t, k)).astype(np.float32) * 2.0
+    lp = x - np.log(np.exp(x).sum(-1, keepdims=True))
+    start = time.perf_counter()
+    hyps = lm_decode(dec, lp, blank_penalty=math.log(7))
+    elapsed = time.perf_counter() - start
+    assert len(hyps) > 0
+    assert all(h.phones for h in hyps)
+    # scores strictly ranked, finite
+    scores = [h.score for h in hyps]
+    assert scores == sorted(scores, reverse=True)
+    assert np.isfinite(scores).all()
+    assert elapsed < 10.0, f"decode too slow: {elapsed:.1f}s"
 
 
 def test_native_is_faster_than_python_oracle(tmp_path):
