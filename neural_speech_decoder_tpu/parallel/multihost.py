@@ -49,3 +49,37 @@ def make_global_mesh(n_model: int = 1):
 def is_primary() -> bool:
     """True on the process that should write checkpoints/logs."""
     return jax.process_index() == 0
+
+
+def local_rows(n_rows: int) -> slice:
+    """This process's row slice of a [n_rows, ...] global batch.
+
+    All processes sample the identical global batch (same seeded RNG
+    sequence — keeps single-process bit-parity and exact resume), then each
+    keeps its contiguous shard. Requires n_rows % process_count == 0.
+    """
+    n_proc = jax.process_count()
+    if n_rows % n_proc:
+        raise ValueError(
+            f"global batch {n_rows} must divide across {n_proc} processes"
+        )
+    per = n_rows // n_proc
+    p = jax.process_index()
+    return slice(p * per, (p + 1) * per)
+
+
+def stage_local_batch(sharding, arrays: tuple) -> tuple:
+    """Assemble global device arrays from process-local batch shards.
+
+    ``arrays`` are this process's rows of the global batch (first axis);
+    ``sharding`` is the global batch sharding (first axis over 'data').
+    Under one process this reduces to a sharded device_put; under many it
+    stitches the global array without gathering data to any single host
+    (jax.make_array_from_process_local_data; SURVEY.md §5 distributed plan).
+    """
+    import numpy as np
+
+    return tuple(
+        jax.make_array_from_process_local_data(sharding, np.asarray(a))
+        for a in arrays
+    )

@@ -375,11 +375,35 @@ def train_model(args: dict) -> dict:
     else:
         state = jax.device_put(state, r_shard)
 
-    def device_put_batch(batch: Batch):
-        return tuple(
-            jax.device_put(a, b_shard)
-            for a in (batch.x, batch.y, batch.x_lens, batch.y_lens, batch.days)
-        )
+    # Multi-host: every process samples the identical global batch (same
+    # seeded RNG — preserves single-process bit-parity and exact resume),
+    # keeps its contiguous row shard, and stages it into the global array
+    # via make_array_from_process_local_data. Single-host: plain sharded
+    # device_put. Force the staging path with multihost_staging: true.
+    multihost = bool(
+        args.get("multihost_staging", jax.process_count() > 1)
+    )
+    if multihost:
+        from ..parallel.multihost import local_rows, stage_local_batch
+
+        def device_put_batch(batch: Batch):
+            rows = local_rows(batch.x.shape[0])
+            return stage_local_batch(
+                b_shard,
+                tuple(
+                    a[rows]
+                    for a in (batch.x, batch.y, batch.x_lens, batch.y_lens,
+                              batch.days)
+                ),
+            )
+    else:
+
+        def device_put_batch(batch: Batch):
+            return tuple(
+                jax.device_put(a, b_shard)
+                for a in (batch.x, batch.y, batch.x_lens, batch.y_lens,
+                          batch.days)
+            )
 
     train_step = make_train_step(args, model, tx)
     eval_step = make_eval_step(model)
