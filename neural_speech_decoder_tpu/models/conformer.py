@@ -60,6 +60,10 @@ class ConformerConfig:
     drop_path_prob: float = 0.1
     head_dropout: float = 0.3  # deep head (transformer_ctc.py:423)
     max_pos_len: int = 5000
+    # Fused Pallas MHSA (scores→mask→softmax→dropout→@V in VMEM, custom
+    # VJP) on the TPU bf16 fast path; fp32 keeps the naive einsum path for
+    # exact torch parity. See ops/pallas/attention_kernel.py.
+    fused_attention: bool = True
     dtype: Any = jnp.float32  # parameter dtype
     # Activation/matmul dtype (bf16 on the MXU with f32 accumulation and f32
     # norm/softmax statistics); float32 keeps exact torch parity for tests.
@@ -198,10 +202,12 @@ def sinusoidal_pos_encoding(max_len: int, d_model: int, dtype=jnp.float32):
 
 
 def _dropout(key, x, rate, train):
-    if not train or rate <= 0:
-        return x
-    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0)
+    # Counter-hash dropout (ops/hashrng.py): same distribution as
+    # jax.random.bernoulli but the mask fuses into the consumer — saves
+    # ~18 ms/step of standalone RNG kernels at reference scale (B=64).
+    from ..ops.hashrng import hash_dropout
+
+    return hash_dropout(key, x, rate, train)
 
 
 def _drop_path(key, x, prob, train):
@@ -222,8 +228,23 @@ def _ff_module(p, x, key, dropout, train):
     return _dropout(k2, h, dropout, train)
 
 
-def _attention(p, x, pad_mask, key, num_heads, dropout, train):
-    """MHSA with key-padding mask (torch nn.MultiheadAttention semantics)."""
+def _use_fused_attention(cfg: ConformerConfig) -> bool:
+    return (
+        cfg.fused_attention
+        and cfg.compute_dtype == jnp.bfloat16
+        and (cfg.latent_dim // cfg.num_heads) % 128 == 0
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _attention(p, cfg, x, pad_mask, out_lens, key, train):
+    """MHSA with key-padding mask (torch nn.MultiheadAttention semantics).
+
+    bf16 on TPU routes through the fused Pallas kernel (identical math:
+    same mask constant, f32 softmax, in-kernel prob dropout); fp32 keeps
+    the einsum path as the torch-parity oracle.
+    """
+    num_heads, dropout = cfg.num_heads, cfg.dropout
     b, t, d = x.shape
     dh = d // num_heads
     xn = _layer_norm(p["ln"], x)
@@ -238,16 +259,25 @@ def _attention(p, x, pad_mask, key, num_heads, dropout, train):
         return z.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    scores = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
-    ) / math.sqrt(dh)
-    if pad_mask is not None:  # pad_mask: [B, T] True = padding
-        scores = jnp.where(pad_mask[:, None, None, :], -1e9, scores)
-    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    if key is not None:
-        probs = _dropout(key, probs, dropout, train)
-    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
+    if _use_fused_attention(cfg):
+        from ..ops.pallas.attention_kernel import fused_mhsa
+
+        out = fused_mhsa(
+            q, k, v, out_lens, key,
+            dropout_rate=dropout if key is not None else 0.0,
+            train=train and key is not None,
+        )
+    else:
+        scores = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+        ) / math.sqrt(dh)
+        if pad_mask is not None:  # pad_mask: [B, T] True = padding
+            scores = jnp.where(pad_mask[:, None, None, :], -1e9, scores)
+        probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+        if key is not None:
+            probs = _dropout(key, probs, dropout, train)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                         preferred_element_type=jnp.float32).astype(x.dtype)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
     return _linear(p["out"], out)
 
@@ -280,7 +310,7 @@ def _conv_module(p, x, key, dropout, train):
     return residual + h
 
 
-def _block(p, cfg: ConformerConfig, x, pad_mask, key, train):
+def _block(p, cfg: ConformerConfig, x, pad_mask, out_lens, key, train):
     if key is not None:
         keys = jax.random.split(key, 8)
     else:
@@ -289,9 +319,7 @@ def _block(p, cfg: ConformerConfig, x, pad_mask, key, train):
         keys[0], 0.5 * _ff_module(p["ff1"], x, keys[1], cfg.dropout, train),
         cfg.drop_path_prob, train,
     )
-    attn = _attention(
-        p["attn"], x, pad_mask, keys[2], cfg.num_heads, cfg.dropout, train
-    )
+    attn = _attention(p["attn"], cfg, x, pad_mask, out_lens, keys[2], train)
     attn = _dropout(keys[3], attn, cfg.dropout, train)
     x = x + _drop_path(keys[4], attn, cfg.drop_path_prob, train)
     x = _conv_module(p["conv"], x, keys[5], cfg.dropout, train)
@@ -383,7 +411,8 @@ def conformer_forward(
     inter_log_probs = None
     for i, bp in enumerate(params["blocks"]):
         bk = keys[3 + i] if keys is not None else None
-        z = _block(bp, cfg, z, pad_mask, bk, train)
+        z = _block(bp, cfg, z, pad_mask,
+                   out_lens if x_lens is not None else None, bk, train)
         if cfg.use_interctc and i == cfg.interctc_layer - 1 and train:
             inter_logits = _linear(params["inter_out"], z).astype(jnp.float32)
             inter_log_probs = jax.nn.log_softmax(inter_logits, axis=-1)

@@ -93,6 +93,7 @@ def build_model(args: dict, n_days: int) -> ModelAPI:
             spec_augment_time_mask=args.get("spec_augment_time_mask", 40),
             drop_path_prob=args.get("drop_path_prob", 0.1),
             compute_dtype=jnp.dtype(args.get("compute_dtype", "float32")),
+            fused_attention=args.get("fused_attention", True),
         )
 
         def forward(params, x, day_idx, x_lens, *, train, key):

@@ -28,6 +28,15 @@ class MetricLogger:
         self.output_dir = output_dir
         self._wandb = None
         self._jsonl = None
+        # Multi-process runs: only the primary writes (every process would
+        # otherwise clobber the same metrics.jsonl / wandb run).
+        try:
+            import jax
+
+            if jax.process_count() > 1 and jax.process_index() != 0:
+                mode = "disabled"
+        except Exception:
+            pass
         if mode != "disabled":
             if mode == "online":
                 try:

@@ -88,6 +88,12 @@ def main():
          make_args(transformer_n_heads=1), dict(b=64)),
         ("no label smoothing", make_args(label_smoothing=0.0), dict(b=64)),
         ("B=128", make_args(), dict(b=128)),
+        ("conv k=3 (dw conv cost probe)",
+         make_args(conformer_conv_kernel=3), dict(b=64)),
+        ("ff=512 (FF cost probe)",
+         make_args(transformer_dim_ff=512), dict(b=64)),
+        ("naive attention", make_args(fused_attention=False), dict(b=64)),
+        ("no droppath", make_args(drop_path_prob=0.0), dict(b=64)),
     ]
     sel = sys.argv[1:] or None
     for name, args, kw in variants:

@@ -20,5 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 # NSD_TEST_PLATFORM=tpu runs the suite against the real chip (used for the
-# TPU-gated real-shape Pallas parity tests, which skip on CPU).
-jax.config.update("jax_platforms", os.environ.get("NSD_TEST_PLATFORM", "cpu"))
+# TPU-gated real-shape Pallas parity tests, which skip on CPU). Leave the
+# platform config untouched in that case: the site hook's pinned platform
+# (here the axon tunnel) registers the chip; forcing "tpu" would try the
+# local libtpu client instead and fail.
+if os.environ.get("NSD_TEST_PLATFORM", "cpu") != "tpu":
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,143 @@
+"""Fused MHSA Pallas kernel vs pure-JAX oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_speech_decoder_tpu.ops.pallas.attention_kernel import (
+    _pad_t,
+    dropout_masks,
+    fused_mhsa,
+    mhsa_reference,
+)
+
+
+def make_qkv(b=2, h=2, t=37, dh=16, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((b, h, t, dh)), dtype=dtype
+    )
+    return mk(), mk(), mk()
+
+
+def test_fwd_matches_oracle_no_dropout():
+    q, k, v = make_qkv()
+    lens = jnp.array([30, 12], jnp.int32)
+    out = fused_mhsa(q, k, v, lens, None, interpret=True)
+    ref = mhsa_reference(q, k, v, lens)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fwd_no_lens_full_attention():
+    q, k, v = make_qkv(t=24)
+    out = fused_mhsa(q, k, v, None, None, interpret=True)
+    ref = mhsa_reference(q, k, v, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_grad_matches_oracle_no_dropout():
+    q, k, v = make_qkv(t=20)
+    lens = jnp.array([20, 9], jnp.int32)
+
+    def f_fused(q, k, v):
+        return jnp.sum(fused_mhsa(q, k, v, lens, None, interpret=True) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(mhsa_reference(q, k, v, lens) ** 2)
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_dropout_fwd_matches_oracle_with_extracted_masks():
+    """Exact parity under dropout: rebuild the kernel's keep-masks via the
+    test hook and push them through the reference computation."""
+    b, h, t, dh = 2, 2, 18, 8
+    q, k, v = make_qkv(b=b, h=h, t=t, dh=dh, seed=1)
+    rate = 0.4
+    key = jax.random.key(123)
+    out = fused_mhsa(q, k, v, None, key, dropout_rate=rate, train=True,
+                     interpret=True)
+
+    # identical seed derivation as fused_mhsa
+    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    tp = _pad_t(t)
+    masks = dropout_masks(b * h, tp, seed, rate, interpret=True)
+
+    # oracle with those masks
+    import math
+
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
+    pad = jnp.arange(t)[None, :] >= jnp.full((b,), t)[:, None]
+    probs = jax.nn.softmax(
+        jnp.where(pad[:, None, None, :], -1e9, scores), axis=-1
+    )
+    m = masks.reshape(b, h, tp, tp)[:, :, :t, :t]
+    probs = jnp.where(m, probs / (1 - rate), 0.0)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dropout_grad_matches_oracle_with_extracted_masks():
+    b, h, t, dh = 1, 2, 14, 8
+    q, k, v = make_qkv(b=b, h=h, t=t, dh=dh, seed=2)
+    rate = 0.3
+    key = jax.random.key(7)
+    lens = jnp.array([11], jnp.int32)
+
+    def f_fused(q, k, v):
+        return jnp.sum(
+            fused_mhsa(q, k, v, lens, key, dropout_rate=rate, train=True,
+                       interpret=True) ** 2
+        )
+
+    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    tp = _pad_t(t)
+    masks = dropout_masks(b * h, tp, seed, rate, interpret=True)
+    m = masks.reshape(b, h, tp, tp)[:, :, :t, :t]
+
+    def f_ref(q, k, v):
+        import math
+
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / math.sqrt(dh)
+        pad = jnp.arange(t)[None, :] >= lens[:, None]
+        probs = jax.nn.softmax(
+            jnp.where(pad[:, None, None, :], -1e9, scores), axis=-1
+        )
+        probs = jnp.where(m, probs / (1 - rate), 0.0)
+        return jnp.sum(jnp.einsum("bhqk,bhkd->bhqd", probs, v) ** 2)
+
+    g_fused = jax.grad(f_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_dropout_rate_statistics():
+    rate = 0.5
+    masks = dropout_masks(4, 128, jnp.array([42], jnp.int32), rate,
+                          interpret=True)
+    frac = float(jnp.mean(masks.astype(jnp.float32)))
+    assert abs(frac - (1 - rate)) < 0.02
+    # per-program masks differ
+    assert not bool(jnp.all(masks[0] == masks[1]))
+
+
+def test_same_key_is_deterministic():
+    q, k, v = make_qkv(t=16, dh=8)
+    key = jax.random.key(9)
+    a = fused_mhsa(q, k, v, None, key, dropout_rate=0.3, train=True,
+                   interpret=True)
+    b = fused_mhsa(q, k, v, None, key, dropout_rate=0.3, train=True,
+                   interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -91,6 +91,49 @@ def test_pallas_grad_parity_f32_real_shape():
 
 @pytest.mark.tpu
 @requires_tpu
+def test_fused_attention_parity_real_shape():
+    """Fused Pallas MHSA vs the naive einsum path at production shape
+    (B=64 would OOM nothing but takes a while; B=16, T'=313, D=1024, H=8
+    exercises the same tile geometry), bf16, fwd + grads."""
+    from neural_speech_decoder_tpu.ops.pallas.attention_kernel import (
+        fused_mhsa,
+        mhsa_reference,
+    )
+
+    b, h, t, dh = 16, 8, 313, 128
+    rng = np.random.default_rng(3)
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((b, h, t, dh)), jnp.bfloat16)
+        for _ in range(3)
+    )
+    lens = jnp.asarray(rng.integers(64, t + 1, size=(b,)), jnp.int32)
+
+    out = np.asarray(
+        jax.jit(lambda q, k, v: fused_mhsa(q, k, v, lens, None))(q, k, v)
+    ).astype(np.float32)
+    ref = np.asarray(
+        jax.jit(lambda q, k, v: mhsa_reference(q, k, v, lens))(q, k, v)
+    ).astype(np.float32)
+    assert float(np.max(np.abs(out - ref))) < 0.05  # bf16 rounding
+    np.testing.assert_allclose(out, ref, atol=0.05)
+
+    def loss(fn):
+        return jax.jit(jax.grad(
+            lambda q, k, v: jnp.sum(fn(q, k, v).astype(jnp.float32) ** 2),
+            argnums=(0, 1, 2),
+        ))
+
+    g_out = loss(lambda q, k, v: fused_mhsa(q, k, v, lens, None))(q, k, v)
+    g_ref = loss(lambda q, k, v: mhsa_reference(q, k, v, lens))(q, k, v)
+    for a, b_ in zip(g_out, g_ref):
+        a = np.asarray(a).astype(np.float32)
+        b_ = np.asarray(b_).astype(np.float32)
+        scale = max(float(np.max(np.abs(b_))), 1e-3)
+        np.testing.assert_allclose(a, b_, atol=0.02 * scale)
+
+
+@pytest.mark.tpu
+@requires_tpu
 def test_pallas_bf16_tracks_f32_real_shape():
     """The bf16 production path must stay within bf16 rounding of the f32
     oracle (catches carry-precision regressions in the kernel)."""
