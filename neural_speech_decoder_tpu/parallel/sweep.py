@@ -34,6 +34,7 @@ class Trial:
     best_cer: float = float("inf")
     status: str = "pending"
     error: str | None = None
+    chips: str | None = None  # TPU chip subset the trial ran on (if pinned)
 
 
 def grid_space(space: dict[str, Sequence[Any]]) -> list[dict[str, Any]]:
@@ -53,7 +54,34 @@ def random_space(
     return [{k: fn(rng) for k, fn in space.items()} for _ in range(n_trials)]
 
 
+def slice_env(slot: int, chips_per_trial: int) -> dict[str, str]:
+    """Env vars pinning a worker process to its own TPU chip subset.
+
+    The real analog of the reference's ``array_parallelism: 50`` across a
+    GPU cluster: on a TPU host/pod slice, concurrent trials must not share
+    chips. Each worker slot sees ``chips_per_trial`` consecutive chips via
+    the libtpu visibility env (must be set before jax/libtpu initializes —
+    hence the pool initializer, one slot per worker process).
+    """
+    first = slot * chips_per_trial
+    chips = ",".join(str(first + i) for i in range(chips_per_trial))
+    return {
+        "TPU_VISIBLE_DEVICES": chips,
+        "TPU_PROCESS_BOUNDS": "1,1,1",
+        "TPU_CHIPS_PER_PROCESS_BOUNDS": f"{chips_per_trial},1,1",
+        # each trial is an independent single-process JAX runtime
+        "JAX_PROCESS_COUNT": "1",
+    }
+
+
+def _slot_init(slot_queue, chips_per_trial: int) -> None:
+    """Pool initializer: claim a chip-slot for this worker process."""
+    slot = slot_queue.get()
+    os.environ.update(slice_env(slot, chips_per_trial))
+
+
 def _run_trial(base_args: dict, trial: Trial) -> Trial:
+    trial.chips = os.environ.get("TPU_VISIBLE_DEVICES")
     try:
         from ..training.trainer import train_model
 
@@ -81,19 +109,38 @@ def run_sweep(
     *,
     array_parallelism: int = 1,
     use_processes: bool = True,
+    chips_per_trial: int | None = None,
+    total_chips: int | None = None,
 ) -> list[Trial]:
-    """Run every override set; returns trials sorted by best CER."""
+    """Run every override set; returns trials sorted by best CER.
+
+    ``chips_per_trial`` (with ``total_chips``) gives each concurrent trial
+    its own TPU chip subset — concurrency is then bounded by
+    ``total_chips // chips_per_trial`` as well as ``array_parallelism``.
+    """
     os.makedirs(sweep_dir, exist_ok=True)
     trials = [
         Trial(i, ov, os.path.join(sweep_dir, f"trial_{i:04d}"))
         for i, ov in enumerate(override_list)
     ]
     payloads = [(base_args, t) for t in trials]
+    init, initargs = None, ()
+    if chips_per_trial:
+        n_slots = max((total_chips or chips_per_trial) // chips_per_trial, 1)
+        array_parallelism = min(array_parallelism, n_slots)
+        ctx0 = mp.get_context("spawn")
+        slot_queue = ctx0.Manager().Queue()
+        for s in range(array_parallelism):
+            slot_queue.put(s)
+        init, initargs = _slot_init, (slot_queue, chips_per_trial)
     if use_processes and array_parallelism > 1:
         ctx = mp.get_context("spawn")  # fresh JAX runtime per trial
-        with ctx.Pool(processes=array_parallelism) as pool:
+        with ctx.Pool(processes=array_parallelism, initializer=init,
+                      initargs=initargs) as pool:
             results = pool.map(_worker, payloads)
     else:
+        if chips_per_trial:
+            os.environ.update(slice_env(0, chips_per_trial))
         results = [_worker(p) for p in payloads]
     results.sort(key=lambda t: t.best_cer)
     with open(os.path.join(sweep_dir, "sweep_summary.json"), "w") as f:
@@ -106,6 +153,7 @@ def run_sweep(
                     "best_cer": t.best_cer,
                     "status": t.status,
                     "error": t.error,
+                    "chips": t.chips,
                 }
                 for t in results
             ],

@@ -115,6 +115,39 @@ def test_sweep_driver(tmp_path):
     assert len(summary) == 2 and "best_cer" in summary[0]
 
 
+def test_sweep_slice_placement(tmp_path, monkeypatch):
+    """Per-trial TPU-slice placement: slice_env pins disjoint chip subsets
+    (the real analog of the reference's array_parallelism across a GPU
+    cluster) and the sweep summary records each trial's chips."""
+    from neural_speech_decoder_tpu.parallel.sweep import slice_env
+
+    assert slice_env(0, 2)["TPU_VISIBLE_DEVICES"] == "0,1"
+    assert slice_env(1, 2)["TPU_VISIBLE_DEVICES"] == "2,3"
+    assert slice_env(3, 1)["TPU_VISIBLE_DEVICES"] == "3"
+    assert slice_env(1, 2)["TPU_CHIPS_PER_PROCESS_BOUNDS"] == "2,1,1"
+    # disjointness across slots
+    seen = set()
+    for slot in range(4):
+        chips = set(slice_env(slot, 2)["TPU_VISIBLE_DEVICES"].split(","))
+        assert not (chips & seen)
+        seen |= chips
+
+    monkeypatch.delenv("TPU_VISIBLE_DEVICES", raising=False)
+    args = base_args(tmp_path, nBatch=4, evalEvery=2)
+    overrides = grid_space({"lrStart": [0.01]})
+    trials = run_sweep(
+        args, overrides, str(tmp_path / "sweep_sliced"),
+        array_parallelism=1, use_processes=False,
+        chips_per_trial=2, total_chips=8,
+    )
+    assert trials[0].status == "done"
+    assert trials[0].chips == "0,1"
+    with open(tmp_path / "sweep_sliced" / "sweep_summary.json") as f:
+        summary = json.load(f)
+    assert summary[0]["chips"] == "0,1"
+    monkeypatch.delenv("TPU_VISIBLE_DEVICES", raising=False)
+
+
 def test_cli_main(tmp_path):
     import yaml
 
