@@ -311,6 +311,11 @@ struct Decoder {
   // kOovDisabled turns the fallback track off entirely).
   float oov_cost = kOovDisabled;
   int unk_wid = -1;  // lexicon word id of "<unk>" when OOV is enabled
+  // Word-boundary-free decoding: words may also commit eagerly at any
+  // word-end trie node when the next phone starts a new word — required
+  // for models/lexicons without SIL word delimiters (the upstream WFST's
+  // TLG composition handles this via epsilon word arcs).
+  bool boundary_free = false;
   // lexicon word id -> LM vocab id, precomputed at create (avoids string
   // hashing on every LM score call — the decode hot path).
   std::vector<int> lex2lm;
@@ -477,6 +482,24 @@ struct Decoder {
                 upd(pn, s.words, child->second, c, s.lm, s.pen, kNegInf,
                     src + frame[c]);
               }
+              if (boundary_free && s.trie != 0 &&
+                  !lexicon.nodes[s.trie].words.empty()) {
+                // eager commit: end the current word here and start a new
+                // one with phone c (no SIL delimiter between them)
+                auto root_child = lexicon.nodes[0].next.find(c);
+                if (root_child != lexicon.nodes[0].next.end()) {
+                  int pn = phones_arena.Extend(s.phones, c);
+                  for (int wid : lexicon.nodes[s.trie].words) {
+                    double lm_inc =
+                        has_lm
+                            ? lm.ScoreTrimmed(hc.Get(s.words), lex2lm[wid])
+                            : 0.0;
+                    int wn = words_arena.Extend(s.words, wid);
+                    upd(pn, wn, root_child->second, c, s.lm + lm_inc, s.pen,
+                        kNegInf, src + frame[c]);
+                  }
+                }
+              }
               if (OovEnabled() && s.trie == 0) {
                 // start an OOV word (parallel free-phone track from the
                 // word boundary)
@@ -607,7 +630,7 @@ extern "C" {
 void* ctcb_create(const char* lexicon_path, const char* arpa_path,
                   float acoustic_scale, int nbest, float beam, int max_active,
                   float lm_weight, float word_ins_penalty, int top_k_tokens,
-                  float oov_cost) {
+                  float oov_cost, int boundary_free) {
   auto* d = new Decoder();
   d->acoustic_scale = acoustic_scale;
   d->nbest = nbest;
@@ -617,6 +640,7 @@ void* ctcb_create(const char* lexicon_path, const char* arpa_path,
   d->word_ins_penalty = word_ins_penalty;
   d->top_k_tokens = top_k_tokens;
   d->oov_cost = oov_cost;
+  d->boundary_free = boundary_free != 0;
   if (lexicon_path && lexicon_path[0]) {
     if (!d->lexicon.Load(lexicon_path)) {
       delete d;

@@ -82,12 +82,17 @@ def beam_search(
     nbest: int = 10,
     top_k_tokens: int = 12,
     oov_cost: float | None = None,
+    boundary_free: bool = False,
 ) -> list[Hypothesis]:
     """Decode one utterance. ``log_probs``: [T, K], blank at 0.
 
     ``oov_cost``: when set (typically negative), enables the OOV fallback
     track — out-of-lexicon words may be hypothesized phone-by-phone from a
     word boundary at ``oov_cost`` score per phone, committing ``<unk>``.
+
+    ``boundary_free``: words may also commit eagerly at any word-end trie
+    node when the next phone starts a new word — decoding for models or
+    lexicons without SIL word delimiters.
     """
     lp = np.asarray(log_probs, np.float64) * acoustic_scale
     lp[:, 0] -= blank_penalty
@@ -217,6 +222,32 @@ def beam_search(
                                    s.pen),
                             pnb=src + frame[c],
                         )
+                    if (boundary_free and s.node is not root
+                            and s.node.words):
+                        # eager commit: end the current word, start a new
+                        # one with phone c (no SIL delimiter)
+                        root_child = root.children.get(c)
+                        if root_child is not None:
+                            for wid in s.node.words:
+                                lm_inc = 0.0
+                                if lm is not None:
+                                    hist = bos + tuple(
+                                        lm.word_id(lexicon.words[w])
+                                        for w in s.words
+                                    )
+                                    lm_inc = lm.score(
+                                        hist, lm.word_id(lexicon.words[wid])
+                                    )
+                                upd(
+                                    _State(
+                                        s.phones + (c,),
+                                        s.words + (wid,),
+                                        root_child,
+                                        s.lm + lm_inc,
+                                        s.pen,
+                                    ),
+                                    pnb=src + frame[c],
+                                )
                     if oov_on and s.node is root:
                         # start an OOV word from the word boundary
                         upd(

@@ -45,7 +45,7 @@ def _load_lib():
     lib.ctcb_create.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_float, ctypes.c_int,
         ctypes.c_float, ctypes.c_int, ctypes.c_float, ctypes.c_float,
-        ctypes.c_int, ctypes.c_float,
+        ctypes.c_int, ctypes.c_float, ctypes.c_int,
     ]
     lib.ctcb_decode.restype = ctypes.c_int
     lib.ctcb_decode.argtypes = [
@@ -102,6 +102,7 @@ class LMDecoder:
     word_ins_penalty: float
     top_k_tokens: int
     oov_cost: float | None = None
+    boundary_free: bool = False
     _py_lexicon: Lexicon | None = None
     _py_lm: ArpaLM | None = None
 
@@ -125,6 +126,7 @@ def build_lm_decoder(
     word_ins_penalty: float = 0.0,
     top_k_tokens: int = 12,
     oov_cost: float | None = None,
+    boundary_free: bool = False,
     force_python: bool = False,
 ) -> LMDecoder:
     """Create a decoder. Parameter names/defaults mirror the reference call
@@ -132,7 +134,8 @@ def build_lm_decoder(
 
     ``oov_cost`` (typically negative, e.g. -4.0) enables the OOV fallback
     track: out-of-lexicon words decode phone-by-phone at that score per
-    phone and surface as ``<unk>``.
+    phone and surface as ``<unk>``. ``boundary_free`` lets words commit
+    eagerly without SIL delimiters (SIL-free models/lexicons).
     """
     handle = None
     if not force_python and native_available():
@@ -142,6 +145,7 @@ def build_lm_decoder(
             acoustic_scale, nbest, beam, max_active, lm_weight,
             word_ins_penalty, top_k_tokens,
             _OOV_DISABLED if oov_cost is None else oov_cost,
+            int(boundary_free),
         )
         if not handle:
             raise RuntimeError(
@@ -159,6 +163,7 @@ def build_lm_decoder(
         word_ins_penalty=word_ins_penalty,
         top_k_tokens=top_k_tokens,
         oov_cost=oov_cost,
+        boundary_free=boundary_free,
     )
     if handle is None:
         dec._py_lexicon = (
@@ -192,6 +197,7 @@ def lm_decode(
             nbest=decoder.nbest,
             top_k_tokens=decoder.top_k_tokens,
             oov_cost=decoder.oov_cost,
+            boundary_free=decoder.boundary_free,
         )
         return hyps if return_nbest else hyps[:1]
 

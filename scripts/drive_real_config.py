@@ -1,0 +1,151 @@
+"""Training-health drive at the FULL reference configuration on the chip.
+
+Runs a few hundred real-config train steps (B=64, 256ch, 5-layer bidir GRU
+H=1024, bf16, noise aug, Adam — ``/root/reference/scripts/train_model.py:
+4-31``) on structured synthetic data and a full eval pass, verifying that
+the production kernel path (Pallas GRU scans, fused frontend, Pallas CTC)
+actually *trains*: loss falls monotonically (windowed) and greedy PER
+improves from chance.
+
+The axon TPU tunnel's host→device bandwidth (~100-200 MB/s) would dominate
+a naive loop (84 MB/batch), so the drive pre-stages a pool of distinct
+batches on-device and cycles through them — the compute path per step is
+identical to production training.
+
+Usage: python scripts/drive_real_config.py [--steps 300] [--pool 12]
+Prints one JSON line with the loss trajectory + eval PER before/after.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--pool", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=64)
+    args_cli = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from neural_speech_decoder_tpu.data.batching import (
+        choose_envelope,
+        sample_batch,
+    )
+    from neural_speech_decoder_tpu.data.dataset import pack_days
+    from neural_speech_decoder_tpu.data.synthetic import synthetic_dataset
+    from neural_speech_decoder_tpu.ops.ctc import ctc_loss
+    from neural_speech_decoder_tpu.ops.decode import batch_per, greedy_decode
+    from neural_speech_decoder_tpu.training.optim import make_optimizer
+    from neural_speech_decoder_tpu.training.trainer import (
+        build_model,
+        make_eval_step,
+        make_train_step,
+    )
+
+    args = {
+        "model_type": "gru_baseline",
+        "nInputFeatures": 256,
+        "nClasses": 40,
+        "nUnits": 1024,
+        "nLayers": 5,
+        "dropout": 0.4,
+        "strideLen": 4,
+        "kernelLen": 32,
+        "gaussianSmoothWidth": 2.0,
+        "bidirectional": True,
+        "whiteNoiseSD": 0.2,
+        "constantOffsetSD": 0.05,
+        "lrStart": 0.02,
+        "lrEnd": 0.02,
+        "l2_decay": 1e-5,
+        "nBatch": 10000,
+        "seed": 0,
+        "compute_dtype": "bfloat16",
+        "watch_log_freq": 0,
+    }
+    # Structured synthetic data at reference dims: learnable phone-locked
+    # signal so the loss trajectory is meaningful, lengths 400-1200.
+    raw = synthetic_dataset(
+        seed=1, n_days=24, trials_per_day=24, n_channels=256,
+        min_t=400, max_t=1200, min_u=8, max_u=24, signal_scale=3.0,
+    )
+    train_ds, test_ds = pack_days(raw["train"]), pack_days(raw["test"])
+    t_max, u_max = choose_envelope(train_ds, test_ds, time_multiple=128)
+    print(f"envelope T={t_max} U={u_max}", file=sys.stderr)
+
+    model = build_model(args, n_days=24)
+    params = model.init(jax.random.key(0))
+    tx, _ = make_optimizer(args)
+    state = {"params": params, "opt_state": tx.init(params),
+             "step": jnp.array(0)}
+    train_step = make_train_step(args, model, tx)
+    eval_step = make_eval_step(model)
+
+    rng = np.random.default_rng(0)
+    pool = []
+    for _ in range(args_cli.pool):
+        b = sample_batch(train_ds, rng, args_cli.batch, t_max, u_max)
+        pool.append(tuple(
+            jax.device_put(a)
+            for a in (b.x, b.y, b.x_lens, b.y_lens, b.days)
+        ))
+    print(f"staged {len(pool)} batches on device", file=sys.stderr)
+
+    def run_eval():
+        from neural_speech_decoder_tpu.data.batching import eval_batches
+
+        dist = tot = 0
+        for b in eval_batches(test_ds, args_cli.batch, t_max, u_max):
+            arrays = tuple(jax.device_put(a)
+                           for a in (b.x, b.y, b.x_lens, b.y_lens, b.days))
+            per_seq, tokens, dec_lens = eval_step(state["params"], *arrays)
+            real = b.weight > 0
+            d, l = batch_per(np.asarray(tokens)[real],
+                             np.asarray(dec_lens)[real],
+                             b.y[real], b.y_lens[real])
+            dist += d
+            tot += l
+        return dist / max(tot, 1)
+
+    base_key = jax.random.key(0, impl="rbg")
+    per_before = float(run_eval())
+    print(f"PER before: {per_before:.4f}", file=sys.stderr)
+
+    losses = []
+    start = time.perf_counter()
+    for step in range(args_cli.steps):
+        key = jax.random.fold_in(base_key, step)
+        state, metrics = train_step(state, *pool[step % len(pool)], key)
+        if step % 20 == 0 or step == args_cli.steps - 1:
+            losses.append(round(float(metrics["train/loss"]), 4))
+            print(f"step {step}: loss {losses[-1]}", file=sys.stderr)
+    elapsed = time.perf_counter() - start
+
+    per_after = float(run_eval())
+    # windowed monotonicity: mean of each third strictly decreasing
+    thirds = np.array_split(np.asarray(losses), 3)
+    mono = thirds[0].mean() > thirds[1].mean() > thirds[2].mean()
+    out = {
+        "steps": args_cli.steps,
+        "losses": losses,
+        "monotone_thirds": bool(mono),
+        "per_before": round(per_before, 4),
+        "per_after": round(per_after, 4),
+        "seq_per_s": round(args_cli.batch * args_cli.steps / elapsed, 1),
+    }
+    print(json.dumps(out))
+    assert mono, "loss not decreasing"
+    assert per_after < per_before - 0.05, "PER did not improve"
+
+
+if __name__ == "__main__":
+    main()

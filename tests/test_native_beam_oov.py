@@ -88,6 +88,33 @@ def test_oov_oracle_prefers_lexicon_when_in_vocab(small_lexicon):
 
 
 @pytest.mark.skipif(not native_available(), reason="native decoder not built")
+def test_boundary_free_decodes_without_sil(small_lexicon):
+    """SIL-free decoding: words commit eagerly at word-end trie nodes (the
+    upstream WFST handles SIL-less lexicons via epsilon word arcs)."""
+    # "K AE T D AO G" with no SIL anywhere
+    seq = [pid(p) for p in ["K", "AE", "T", "D", "AO", "G"]]
+    lp = logits_for(seq)
+
+    kwargs = dict(acoustic_scale=0.5, nbest=10, beam=25.0, max_active=200,
+                  boundary_free=True)
+    native = build_lm_decoder(small_lexicon, None, **kwargs)
+    python = build_lm_decoder(small_lexicon, None, force_python=True, **kwargs)
+    h_nat = lm_decode(native, lp, blank_penalty=math.log(2))
+    h_py = lm_decode(python, lp, blank_penalty=math.log(2))
+    assert h_nat[0].words == ["cat", "dog"]
+    assert len(h_nat) == len(h_py)
+    for a, b in zip(h_nat, h_py):
+        assert a.phones == b.phones and a.words == b.words
+        assert abs(a.score - b.score) < 2e-3
+
+    # default (SIL-delimited) mode cannot commit both words back to back
+    strict = build_lm_decoder(small_lexicon, None, acoustic_scale=0.5,
+                              nbest=10, beam=25.0, max_active=200)
+    h_strict = lm_decode(strict, lp, blank_penalty=math.log(2))
+    assert all(h.words != ["cat", "dog"] for h in h_strict)
+
+
+@pytest.mark.skipif(not native_available(), reason="native decoder not built")
 def test_batch_decode_matches_serial(tmp_path):
     rng = np.random.default_rng(7)
     words = ["cat", "dog", "sun", "moon"]
