@@ -179,6 +179,11 @@ def main() -> None:
     parser.add_argument("--lm", default=None, help="ARPA LM path")
     parser.add_argument("--llmPath", default=None,
                         help="local HF causal-LM checkpoint for rescoring")
+    parser.add_argument("--llmBackend", default="jax",
+                        choices=("jax", "torch"),
+                        help="rescoring engine: 'jax' runs the checkpoint "
+                             "as a jitted JAX forward on the TPU (default); "
+                             "'torch' keeps the HF CPU path")
     parser.add_argument("--acousticScale", type=float, default=0.5)
     parser.add_argument("--blankPenalty", type=float, default=math.log(7))
     parser.add_argument("--nbest", type=int, default=100)
@@ -196,9 +201,14 @@ def main() -> None:
     )
     llm_scorer = None
     if args.llmPath:
-        from .rescore import hf_causal_scorer
+        if args.llmBackend == "jax":
+            from .jax_lm import jax_causal_scorer
 
-        llm_scorer = hf_causal_scorer(args.llmPath)
+            llm_scorer = jax_causal_scorer(args.llmPath)
+        else:
+            from .rescore import hf_causal_scorer
+
+            llm_scorer = hf_causal_scorer(args.llmPath)
     elif args.lm:
         from .lexicon import ArpaLM
         from .rescore import ngram_scorer
