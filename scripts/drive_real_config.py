@@ -13,7 +13,11 @@ batches on-device and cycles through them — the compute path per step is
 identical to production training.
 
 Usage: python scripts/drive_real_config.py [--steps 300] [--pool 12]
+                                           [--model gru|conformer]
 Prints one JSON line with the loss trajectory + eval PER before/after.
+``--model conformer`` runs the reference Conformer recipe instead
+(``scripts/train_conformer.py:4-58``: 8 blocks, d=1024, AdamW + warmup,
+label smoothing, InterCTC, SpecAugment) on the fused-MHSA kernel path.
 """
 
 import argparse
@@ -31,6 +35,7 @@ def main():
     ap.add_argument("--steps", type=int, default=300)
     ap.add_argument("--pool", type=int, default=12)
     ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--model", default="gru", choices=("gru", "conformer"))
     args_cli = ap.parse_args()
 
     import jax
@@ -51,27 +56,64 @@ def main():
         make_train_step,
     )
 
-    args = {
-        "model_type": "gru_baseline",
-        "nInputFeatures": 256,
-        "nClasses": 40,
-        "nUnits": 1024,
-        "nLayers": 5,
-        "dropout": 0.4,
-        "strideLen": 4,
-        "kernelLen": 32,
-        "gaussianSmoothWidth": 2.0,
-        "bidirectional": True,
-        "whiteNoiseSD": 0.2,
-        "constantOffsetSD": 0.05,
-        "lrStart": 0.02,
-        "lrEnd": 0.02,
-        "l2_decay": 1e-5,
-        "nBatch": 10000,
-        "seed": 0,
-        "compute_dtype": "bfloat16",
-        "watch_log_freq": 0,
-    }
+    if args_cli.model == "gru":
+        args = {
+            "model_type": "gru_baseline",
+            "nInputFeatures": 256,
+            "nClasses": 40,
+            "nUnits": 1024,
+            "nLayers": 5,
+            "dropout": 0.4,
+            "strideLen": 4,
+            "kernelLen": 32,
+            "gaussianSmoothWidth": 2.0,
+            "bidirectional": True,
+            "whiteNoiseSD": 0.2,
+            "constantOffsetSD": 0.05,
+            "lrStart": 0.02,
+            "lrEnd": 0.02,
+            "l2_decay": 1e-5,
+            "nBatch": 10000,
+            "seed": 0,
+            "compute_dtype": "bfloat16",
+            "watch_log_freq": 0,
+        }
+    else:
+        # Reference Conformer recipe (scripts/train_conformer.py:4-58) with
+        # gentler noise for the structured synthetic signal.
+        args = {
+            "model_type": "transformer_ctc",
+            "nInputFeatures": 256,
+            "nClasses": 40,
+            "temporal_kernel": 32,
+            "temporal_stride": 4,
+            "gaussian_smooth_width": 2.0,
+            "whiteNoiseSD": 0.2,
+            "constantOffsetSD": 0.05,
+            "frontend_dim": 1024,
+            "latent_dim": 1024,
+            "autoencoder_hidden_dim": 512,
+            "transformer_num_layers": 8,
+            "transformer_n_heads": 8,
+            "transformer_dim_ff": 2048,
+            "transformer_dropout": 0.3,
+            "conformer_conv_kernel": 31,
+            "drop_path_prob": 0.1,
+            "optimizer": "adamw",
+            "lrStart": 0.0004,
+            "lrEnd": 0.0001,
+            "weight_decay": 1e-3,
+            "warmup_steps": 50,
+            "label_smoothing": 0.1,
+            "use_spec_augment": True,
+            "spec_augment_freq_mask": 100,
+            "spec_augment_time_mask": 40,
+            "interctc_weight": 0.3,
+            "nBatch": 15000,
+            "seed": 0,
+            "compute_dtype": "bfloat16",
+            "watch_log_freq": 0,
+        }
     # Structured synthetic data at reference dims: learnable phone-locked
     # signal so the loss trajectory is meaningful, lengths 400-1200.
     raw = synthetic_dataset(
