@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import math
 import os
+import signal
+import threading
 import time
 from functools import partial
 from typing import Any, Callable, NamedTuple
@@ -303,6 +305,31 @@ def run_eval(
 def train_model(args: dict) -> dict:
     """Train per the reference contract; returns a summary dict."""
     output_dir = args["outputDir"]
+
+    # Preemption-safe exit, installed before any slow setup/compile work.
+    # The reference's SLURM wrapper asks for a USR1 warning 120 s before
+    # kill (eval_competition.sh:13) but nothing catches it and an
+    # interrupted run restarts from scratch; TPU VMs likewise get SIGTERM
+    # on maintenance/preemption events. Catching either requests a
+    # checkpoint-and-clean-exit at the next step boundary, from which
+    # ``resume: true`` continues exactly (same sampler RNG, same metrics).
+    preempt_requested = threading.Event()
+
+    def _request_stop(signum, frame):
+        print(f"signal {signum} received — will checkpoint and exit")
+        preempt_requested.set()
+
+    prev_handlers: dict[int, Any] = {}
+    if (
+        bool(args.get("preempt_signals", True))
+        and threading.current_thread() is threading.main_thread()
+    ):
+        for sig in (signal.SIGTERM, signal.SIGUSR1):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _request_stop)
+            except (ValueError, OSError):  # pragma: no cover
+                pass
+
     seed = int(args.get("seed", 0))
     np_rng = np.random.default_rng(seed)
     # rbg: the TPU's hardware RNG — ~3 ms/step cheaper than threefry for
@@ -445,6 +472,7 @@ def train_model(args: dict) -> dict:
     # reference only has wall-clock timing; this exposes real TPU traces).
     profile_start, profile_stop = args.get("profile_steps", (None, None))
 
+
     # Length bucketing: pad each batch to the smallest quantile bucket that
     # covers it (few compiles, short batches stop paying for the global
     # envelope — closer to the reference's per-batch dynamic padding).
@@ -476,7 +504,11 @@ def train_model(args: dict) -> dict:
 
     start_time = time.time()
     pending = None  # (metrics, step) held from the previous iteration
+    preempted_at: int | None = None
     for step in range(start_step, n_batch):
+        if preempt_requested.is_set():
+            preempted_at = step
+            break
         if step == profile_start:
             jax.profiler.start_trace(os.path.join(output_dir, "profile"))
         batch = sample_batch(
@@ -536,6 +568,20 @@ def train_model(args: dict) -> dict:
 
         if ckpt_every and (step + 1) % ckpt_every == 0:
             save_last(step)
+
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
+    if preempted_at is not None:
+        # ``step`` batches [0, preempted_at) are consumed; save_last records
+        # sidecar step = preempted_at, so resume continues exactly there.
+        flush_metrics(pending)
+        save_last(preempted_at - 1)
+        logger.finish()
+        print(
+            f"Preempted: checkpointed at step {preempted_at - 1}; "
+            f"rerun with resume: true to continue from step {preempted_at}"
+        )
+        return {"summary/preempted_at": preempted_at}
 
     flush_metrics(pending)
     save_last(n_batch - 1)
