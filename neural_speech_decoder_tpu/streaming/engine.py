@@ -104,6 +104,7 @@ class GRUStreamer:
         self._flushed = False
         self._fast_state = None  # on-device (raw_ctx, bin_ctx, h) once steady
         self._decode_prev = np.full((self.batch,), -1, np.int64)
+        self._beam_state = None  # carried on-device n-best beam state
 
     # -- jitted pieces ------------------------------------------------------
     def _build_step(self):
@@ -346,6 +347,43 @@ class GRUStreamer:
                 prev = tok
             self._decode_prev[bi] = prev
         return out
+
+    def decode_beam(
+        self,
+        logits,
+        *,
+        beam_width: int = 8,
+        top_k_tokens: int = 8,
+        max_len: int = 512,
+    ):
+        """Incrementally prefix-beam-decode newly emitted logits on device.
+
+        Carries the full n-best ``BeamState`` across calls, so feeding
+        chunk outputs one by one is exactly chunk-boundary-invariant: after
+        the last chunk the n-best equals an offline
+        ``prefix_beam_search`` over the concatenated logits (same widths).
+        Accepts the device array from ``process_async`` directly — the
+        beam update chains on device without a host sync.
+
+        Returns ``(prefixes [B, W, max_len], lens [B, W], scores [B, W])``
+        sorted best-first (the current n-best; cheap to call per chunk).
+        """
+        from ..decoding.ondevice_beam import (
+            beam_extend,
+            beam_finalize,
+            beam_init,
+        )
+
+        if self._beam_state is None:
+            self._beam_state = beam_init(self.batch, beam_width, max_len)
+        if logits.shape[1]:
+            log_probs = jax.nn.log_softmax(
+                jnp.asarray(logits, jnp.float32), axis=-1
+            )
+            self._beam_state = beam_extend(
+                self._beam_state, log_probs, top_k_tokens=top_k_tokens
+            )
+        return beam_finalize(self._beam_state)
 
     def _single_frame(self, chunk):
         if not hasattr(self, "_step1"):

@@ -263,3 +263,63 @@ def test_reset_reproduces():
     s.reset()
     b = np.concatenate([s.process(x), s.flush()], axis=1)
     np.testing.assert_array_equal(a, b)
+
+
+def test_streaming_beam_decode_matches_offline_search():
+    """Chunked decode_beam == offline prefix_beam_search on the full
+    logit sequence (chunk-boundary-invariant carried BeamState)."""
+    from neural_speech_decoder_tpu.decoding.ondevice_beam import (
+        prefix_beam_search,
+    )
+
+    params, cfg = make_model()
+    rng = np.random.default_rng(5)
+    t = 60
+    b = 2
+    x = rng.standard_normal((b, t, cfg.neural_dim)).astype(np.float32)
+
+    offline_logits = np.asarray(
+        gru_forward(params, cfg, jnp.asarray(x), jnp.asarray([1, 1]))
+    )
+    t_frames = offline_logits.shape[1]
+    off_pref, off_lens, off_scores = jax.tree.map(
+        np.asarray,
+        prefix_beam_search(
+            jax.nn.log_softmax(jnp.asarray(offline_logits), axis=-1),
+            jnp.full((b,), t_frames, jnp.int32),
+            beam_width=6,
+            top_k_tokens=6,
+        ),
+    )
+
+    streamer = GRUStreamer(
+        params, cfg, day_idx=1, batch=b, frames_per_chunk=2
+    )
+    nbest = None
+    for start in range(0, t, 7):  # ragged chunking on purpose
+        out = streamer.process(x[:, start : start + 7])
+        nbest = streamer.decode_beam(out, beam_width=6, top_k_tokens=6)
+    out = streamer.flush()
+    nbest = streamer.decode_beam(out, beam_width=6, top_k_tokens=6)
+    st_pref, st_lens, st_scores = jax.tree.map(np.asarray, nbest)
+
+    np.testing.assert_array_equal(st_lens, off_lens)
+    np.testing.assert_allclose(st_scores, off_scores, atol=1e-4)
+    np.testing.assert_array_equal(
+        st_pref[:, :, :t_frames], off_pref[:, :, :t_frames]
+    )
+    assert np.all(st_pref[:, :, t_frames:] == 0)
+
+
+def test_streaming_beam_reset_clears_state():
+    params, cfg = make_model()
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 40, cfg.neural_dim)).astype(np.float32)
+    streamer = GRUStreamer(params, cfg, day_idx=0, frames_per_chunk=1)
+    out = streamer.process(x)
+    first = jax.tree.map(np.asarray, streamer.decode_beam(out))
+    streamer.reset()
+    out2 = streamer.process(x)
+    again = jax.tree.map(np.asarray, streamer.decode_beam(out2))
+    np.testing.assert_array_equal(first[0], again[0])
+    np.testing.assert_allclose(first[2], again[2], atol=1e-5)
