@@ -574,8 +574,25 @@ struct Decoder {
             {phones_arena.Materialize(c.phones), wids, score, ac, lm_total});
       }
     }
+    // Deterministic tie-break (matches the Python oracle): equal-scored
+    // hypotheses (e.g. homophone orderings under a unigram LM) rank by
+    // phones then word strings.
+    auto words_less = [this](const std::vector<int>& a,
+                             const std::vector<int>& b) {
+      size_t n = std::min(a.size(), b.size());
+      for (size_t i = 0; i < n; ++i) {
+        const std::string& wa = lexicon.words[a[i]];
+        const std::string& wb = lexicon.words[b[i]];
+        if (wa != wb) return wa < wb;
+      }
+      return a.size() < b.size();
+    };
     std::sort(finals.begin(), finals.end(),
-              [](const Hyp& a, const Hyp& b) { return a.score > b.score; });
+              [&](const Hyp& a, const Hyp& b) {
+                if (a.score != b.score) return a.score > b.score;
+                if (a.phones != b.phones) return a.phones < b.phones;
+                return words_less(a.words, b.words);
+              });
     // dedup identical (phones, words)
     std::vector<Hyp> out;
     for (auto& h : finals) {

@@ -319,7 +319,10 @@ def beam_search(
                     lm_score=lm_total,
                 )
             )
-    finals.sort(key=lambda h: h.score, reverse=True)
+    # Deterministic tie-break: equal-scored hypotheses (e.g. homophone
+    # orderings under a unigram LM) rank by phones then word strings, so
+    # the n-best order is reproducible and engine-independent.
+    finals.sort(key=lambda h: (-h.score, h.phones, h.words))
     # dedup identical word sequences (keep best-scoring)
     seen = set()
     out = []
