@@ -4,6 +4,12 @@ Measures per-chunk wall latency of the unidirectional reference-scale GRU
 streamer: 256 channels, H=1024, 5 layers, kernel 32 / stride 4, 1 stream,
 frames_per_chunk=1 (one 4-bin chunk = 80 ms of neural data per call).
 Prints one JSON line with the p50 per-chunk latency in milliseconds.
+
+``--capacity`` instead sweeps the number of concurrent streams (the
+streamer is batched) with the incremental on-device n-best beam chained
+after each chunk, and reports the largest batch whose per-chunk service
+time stays under the 80 ms real-time deadline — the serving capacity of
+one chip.
 """
 
 import json
@@ -15,7 +21,7 @@ sys.path.insert(0, ".")
 import numpy as np
 
 
-def main() -> None:
+def _make(batch: int = 1):
     import jax
 
     from neural_speech_decoder_tpu.models.gru import GRUConfig, init_gru_params
@@ -35,7 +41,52 @@ def main() -> None:
         compute_dtype="bfloat16",
     )
     params = init_gru_params(jax.random.key(0), cfg)
-    streamer = GRUStreamer(params, cfg, day_idx=0, frames_per_chunk=1)
+    return GRUStreamer(
+        params, cfg, day_idx=0, batch=batch, frames_per_chunk=1
+    )
+
+
+def capacity() -> None:
+    """Concurrent-stream capacity under the 80 ms chunk deadline."""
+    rng = np.random.default_rng(0)
+    rows = []
+    deadline_ms = 80.0
+    for b in (1, 16, 64, 128, 256, 512):
+        streamer = _make(b)
+        chunk = lambda: rng.standard_normal((b, 4, 256)).astype(np.float32)
+        for _ in range(30):
+            out = streamer.process_async(chunk())
+            nbest = streamer.decode_beam(out)
+        float(np.asarray(nbest[2])[0, 0])  # sync (tunnel-safe)
+        # best-of-3 windows: the remote tunnel sporadically stalls a
+        # readback; the min window is the real device service time
+        n = 25
+        per_window = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                out = streamer.process_async(chunk())
+                nbest = streamer.decode_beam(out)
+            float(np.asarray(nbest[2])[0, 0])
+            per_window.append((time.perf_counter() - t0) / n * 1e3)
+        ms = min(per_window)
+        rows.append({"streams": b, "chunk_ms": round(ms, 2),
+                     "realtime": ms < deadline_ms})
+        print(f"B={b}: {ms:.2f} ms/chunk (incl. beam)", file=sys.stderr)
+        if ms >= deadline_ms:
+            break
+    cap = max((r["streams"] for r in rows if r["realtime"]), default=0)
+    print(json.dumps({
+        "metric": "stream_capacity_realtime_streams",
+        "value": cap,
+        "unit": "streams/chip",
+        "deadline_ms": deadline_ms,
+        "sweep": rows,
+    }))
+
+
+def main() -> None:
+    streamer = _make(1)
 
     rng = np.random.default_rng(0)
     chunk = lambda: rng.standard_normal((1, 4, 256)).astype(np.float32)
@@ -81,4 +132,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--capacity" in sys.argv:
+        capacity()
+    else:
+        main()
