@@ -100,3 +100,33 @@ def test_dp_matches_single_device_loss():
         )
     np.testing.assert_allclose(losses[1][0], losses[4][0], rtol=1e-5)
     np.testing.assert_allclose(losses[1][1], losses[4][1], atol=1e-5)
+
+
+def test_pallas_kernel_under_batch_sharded_jit():
+    """The Pallas GRU scan composes with GSPMD batch sharding: a jitted
+    call on DP-sharded inputs matches the unsharded result and keeps the
+    batch axis sharded (the multi-chip production path runs the kernel
+    inside the sharded train step)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from neural_speech_decoder_tpu.ops.pallas.gru_scan import gru_sequence
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    l, d, b, h = 8, 2, 16, 8
+    rng = np.random.default_rng(0)
+    xp = jnp.asarray(rng.standard_normal((l, d, b, 3 * h)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((d, h, 3 * h)) * 0.1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal((d, 3 * h)) * 0.1, jnp.float32)
+
+    ref = gru_sequence(xp, w, bias, True)
+    xp_s = jax.device_put(
+        xp, NamedSharding(mesh, P(None, None, "data", None))
+    )
+    w_s = jax.device_put(w, NamedSharding(mesh, P()))
+    b_s = jax.device_put(bias, NamedSharding(mesh, P()))
+    out = jax.jit(lambda x, ww, bb: gru_sequence(x, ww, bb, True))(
+        xp_s, w_s, b_s
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    assert "data" in str(out.sharding.spec)
