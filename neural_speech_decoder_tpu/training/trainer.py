@@ -218,6 +218,64 @@ def make_train_step(args: dict, model: ModelAPI, tx) -> Callable:
     # only materializes them on the watch interval.
     watch = int(args.get("watch_log_freq", 100)) > 0
 
+    # Optional fused single-pass Adam(+L2) for the GRU recipe
+    # (ops/pallas/adam_kernel.py). Measured-no-gain on v5e — XLA already
+    # runs the optax chain at the elementwise HBM ceiling and the
+    # per-leaf Pallas launches cost more than they save (see the kernel
+    # module docstring + BASELINE.md) — so this is opt-in
+    # (fused_optimizer: true); the math is oracle-tested either way
+    # (test_fused_adam.py).
+    fused_cfg = None
+    if (
+        args.get("optimizer", "adam") != "adamw"
+        and args.get("model_type", "gru_baseline") != "transformer_ctc"
+        and bool(args.get("fused_optimizer", False))
+    ):
+        from .optim import make_optimizer as _make_opt
+
+        _, fused_schedule = _make_opt(args)
+        fused_cfg = {
+            "b1": 0.9,
+            "b2": 0.999,
+            "eps": 0.1,
+            "l2": float(args.get("l2_decay", 0.0)),
+        }
+
+    def _apply_optimizer(grads, opt_state, params):
+        if fused_cfg is not None:
+            adam_idx = next(
+                (
+                    i
+                    for i, s in enumerate(opt_state)
+                    if isinstance(s, optax.ScaleByAdamState)
+                ),
+                None,
+            )
+            if adam_idx is not None:
+                from ..ops.pallas.adam_kernel import fused_adam_update
+
+                adam_st = opt_state[adam_idx]
+                lr = fused_schedule(adam_st.count)
+                params, mu, nu = fused_adam_update(
+                    grads, params, adam_st.mu, adam_st.nu, adam_st.count,
+                    lr, **fused_cfg,
+                )
+                new_states = []
+                for i, s in enumerate(opt_state):
+                    if i == adam_idx:
+                        new_states.append(
+                            optax.ScaleByAdamState(
+                                count=adam_st.count + 1, mu=mu, nu=nu
+                            )
+                        )
+                    elif "count" in getattr(s, "_fields", ()):
+                        new_states.append(s._replace(count=s.count + 1))
+                    else:
+                        new_states.append(s)
+                return params, tuple(new_states)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
     @partial(jax.jit, donate_argnums=0)
     def train_step(state, x, y, x_lens, y_lens, days, key):
         def loss_fn(p):
@@ -232,8 +290,9 @@ def make_train_step(args: dict, model: ModelAPI, tx) -> Callable:
         if watch:
             metrics.update(_tree_norms(grads, "train/grad_norm"))
             metrics.update(_tree_norms(state["params"], "train/param_norm"))
-        updates, opt_state = tx.update(grads, state["opt_state"], state["params"])
-        params = optax.apply_updates(state["params"], updates)
+        params, opt_state = _apply_optimizer(
+            grads, state["opt_state"], state["params"]
+        )
         new_state = {
             "params": params,
             "opt_state": opt_state,
