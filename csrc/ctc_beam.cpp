@@ -369,19 +369,35 @@ struct Decoder {
     double score, ac, lm;
   };
 
-  // const + local arenas: safe to call concurrently from many threads on
-  // the same (shared, read-only) lexicon/LM.
-  std::vector<Hyp> Decode(const float* logprobs, int T, int K,
-                          float blank_penalty) const {
-    Arena phones_arena, words_arena;
-    HistCache hc{{}, this, &words_arena};
+  using Key = std::tuple<int, int, int>;
 
-    using Key = std::tuple<int, int, int>;
+  // All per-decode mutable state, separable from the (shared, read-only)
+  // decoder: offline Decode() is StartSession + one Feed + Finalize, and
+  // the streaming C API feeds chunks into a long-lived Session — one code
+  // path, so the offline parity tests cover the streaming internals.
+  struct Session {
+    Arena phones_arena, words_arena;
+    HistCache hc;
     std::unordered_map<Key, State, StateKeyHash> states;
+  };
+
+  // NOTE: fills in place (the HistCache holds a pointer to the session's
+  // own words arena, so a Session must never be copied/moved after init).
+  void InitSession(Session& ses) const {
+    ses.hc = HistCache{{}, this, &ses.words_arena};
     State init;
     init.p_b = 0.0;
     init.trie = has_lexicon ? 0 : -1;
-    states[{-1, -1, init.trie}] = init;
+    ses.states[{-1, -1, init.trie}] = init;
+  }
+
+  // Advance the beam by T frames. Safe to call repeatedly (chunked).
+  void Feed(Session& ses, const float* logprobs, int T, int K,
+            float blank_penalty) const {
+    Arena& phones_arena = ses.phones_arena;
+    Arena& words_arena = ses.words_arena;
+    HistCache& hc = ses.hc;
+    auto& states = ses.states;
 
     std::vector<double> frame(K);
     std::vector<int> order(K);
@@ -531,8 +547,16 @@ struct Decoder {
         ++kept;
       }
     }
+  }
 
-    // finalize
+  // Rank the current beam into n-best hypotheses. Non-destructive w.r.t.
+  // the beam itself (the LM-history cache warms up, which is fine), so a
+  // streaming consumer can peek partial results mid-utterance.
+  std::vector<Hyp> Finalize(Session& ses) const {
+    Arena& phones_arena = ses.phones_arena;
+    Arena& words_arena = ses.words_arena;
+    HistCache& hc = ses.hc;
+    auto& states = ses.states;
     std::vector<Hyp> finals;
     for (auto& [key, s] : states) {
       std::vector<State> cands;
@@ -606,6 +630,16 @@ struct Decoder {
       if (static_cast<int>(out.size()) >= nbest) break;
     }
     return out;
+  }
+
+  // const + session-local arenas: safe to call concurrently from many
+  // threads on the same (shared, read-only) lexicon/LM.
+  std::vector<Hyp> Decode(const float* logprobs, int T, int K,
+                          float blank_penalty) const {
+    Session ses;
+    InitSession(ses);
+    Feed(ses, logprobs, T, K, blank_penalty);
+    return Finalize(ses);
   }
 };
 
@@ -741,5 +775,54 @@ int ctcb_decode_batch(void* handle, const float* logprobs,
 }
 
 void ctcb_free(void* handle) { delete static_cast<Decoder*>(handle); }
+
+// --- streaming session API -------------------------------------------------
+// One utterance per session: feed log-prob chunks as the model emits them;
+// read the current n-best at any point (partial results) without
+// disturbing the beam. The upstream real-time WFST decoders work the same
+// way; the offline ctcb_decode is exactly start + one feed + nbest.
+
+struct SessionHandle {
+  const Decoder* d;
+  Decoder::Session ses;
+};
+
+void* ctcb_session_start(void* handle) {
+  if (!handle) return nullptr;
+  auto* d = static_cast<Decoder*>(handle);
+  auto* w = new SessionHandle();
+  w->d = d;
+  d->InitSession(w->ses);
+  return w;
+}
+
+// Advance the beam by T frames. Returns 0, or -1 on bad args.
+int ctcb_session_feed(void* sess, const float* logprobs, int T, int K,
+                      float blank_penalty) {
+  auto* w = static_cast<SessionHandle*>(sess);
+  if (!w || T < 0 || K <= 0) return -1;
+  w->d->Feed(w->ses, logprobs, T, K, blank_penalty);
+  return 0;
+}
+
+// Current n-best (same output format as ctcb_decode; phones_stride is the
+// caller's per-hypothesis phone-buffer capacity). Returns the hypothesis
+// count, -2 on words overflow, -3 if a hypothesis exceeds phones_stride.
+int ctcb_session_nbest(void* sess, int phones_stride, int32_t* out_phones,
+                       int32_t* out_phone_lens, char* out_words,
+                       int words_buf, float* out_scores, float* out_ac,
+                       float* out_lm) {
+  auto* w = static_cast<SessionHandle*>(sess);
+  if (!w) return -1;
+  auto hyps = w->d->Finalize(w->ses);
+  for (const auto& h : hyps)
+    if (static_cast<int>(h.phones.size()) > phones_stride) return -3;
+  return WriteHyps(*w->d, hyps, phones_stride, out_phones, out_phone_lens,
+                   out_words, words_buf, out_scores, out_ac, out_lm);
+}
+
+void ctcb_session_free(void* sess) {
+  delete static_cast<SessionHandle*>(sess);
+}
 
 }  // extern "C"

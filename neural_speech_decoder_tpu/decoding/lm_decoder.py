@@ -70,6 +70,22 @@ def _load_lib():
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.ctcb_free.argtypes = [ctypes.c_void_p]
+    lib.ctcb_session_start.restype = ctypes.c_void_p
+    lib.ctcb_session_start.argtypes = [ctypes.c_void_p]
+    lib.ctcb_session_feed.restype = ctypes.c_int
+    lib.ctcb_session_feed.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_int, ctypes.c_float,
+    ]
+    lib.ctcb_session_nbest.restype = ctypes.c_int
+    lib.ctcb_session_nbest.argtypes = [
+        ctypes.c_void_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_char_p, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.ctcb_session_free.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -311,6 +327,106 @@ def lm_decode_batch(
             )
         results.append(hyps)
     return results
+
+
+class LMStream:
+    """Incremental native lexicon+LM decode session (one utterance).
+
+    Feed per-frame log-probs as the model emits them; ``nbest()`` returns
+    the current n-best at any point — partial word hypotheses mid-stream,
+    the final result after the last chunk — without disturbing the beam
+    (the upstream real-time WFST decoders stream the same way; the
+    offline ``lm_decode`` is exactly one feed + nbest of this session,
+    same C++ code path). Use via ``open_stream(decoder)``; context
+    manager supported. Native engine only.
+    """
+
+    def __init__(self, decoder: LMDecoder):
+        if decoder.handle is None:
+            raise RuntimeError(
+                "streaming decode requires the native engine "
+                "(build csrc/ and avoid force_python)"
+            )
+        self._decoder = decoder
+        self._sess = _LIB.ctcb_session_start(
+            ctypes.c_void_p(decoder.handle)
+        )
+        if not self._sess:
+            raise RuntimeError("ctcb_session_start failed")
+        self._frames = 0
+
+    def feed(self, log_probs, blank_penalty: float = 0.0) -> None:
+        """``log_probs``: [T_chunk, K] per-frame log-probs (blank at 0)."""
+        lp = np.ascontiguousarray(log_probs, np.float32)
+        t, k = lp.shape
+        if t == 0:
+            return
+        rc = _LIB.ctcb_session_feed(
+            ctypes.c_void_p(self._sess),
+            lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, k,
+            blank_penalty,
+        )
+        if rc != 0:
+            raise RuntimeError(f"session feed failed (code {rc})")
+        self._frames += t
+
+    def nbest(self) -> list[Hypothesis]:
+        """Current n-best (partial mid-stream, final after the last feed)."""
+        n = self._decoder.nbest
+        stride = max(self._frames, 1)
+        out_phones = np.zeros((n, stride), np.int32)
+        out_lens = np.zeros((n,), np.int32)
+        words_buf = ctypes.create_string_buffer(4 << 20)
+        scores = np.zeros((n,), np.float32)
+        ac = np.zeros((n,), np.float32)
+        lm = np.zeros((n,), np.float32)
+        count = _LIB.ctcb_session_nbest(
+            ctypes.c_void_p(self._sess), stride,
+            out_phones.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            words_buf, len(words_buf),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ac.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if count < 0:
+            raise RuntimeError(f"session nbest failed (code {count})")
+        raw_words = words_buf.raw.split(b"\x1e")
+        hyps = []
+        for i in range(count):
+            wtxt = raw_words[i].decode() if i < len(raw_words) else ""
+            hyps.append(
+                Hypothesis(
+                    phones=list(out_phones[i, : out_lens[i]]),
+                    words=[w for w in wtxt.split("\n") if w],
+                    score=float(scores[i]),
+                    ac_score=float(ac[i]),
+                    lm_score=float(lm[i]),
+                )
+            )
+        return hyps
+
+    def close(self) -> None:
+        if self._sess:
+            _LIB.ctcb_session_free(ctypes.c_void_p(self._sess))
+            self._sess = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover - GC safety net
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def open_stream(decoder: LMDecoder) -> LMStream:
+    """Start an incremental decode session on the native engine."""
+    return LMStream(decoder)
 
 
 def rearrange_speech_logits(logits: np.ndarray, *, blank_last: bool = True):
