@@ -118,6 +118,43 @@ def main():
     ]
     print(f"   streamed phonemes: {[id_to_phone(i) for i in emitted]}")
     print(f"   ground truth:      {truth}")
+
+    # Live word-level decoding: the native lexicon+LM engine consumes the
+    # streamed logits incrementally and surfaces partial n-best words
+    # mid-utterance (same code path as the offline competition decode).
+    from neural_speech_decoder_tpu.decoding.lm_decoder import (
+        build_lm_decoder,
+        native_available,
+        open_stream,
+    )
+
+    if native_available():
+        import math
+
+        import jax.nn
+
+        lm_dec = build_lm_decoder(lex_path, arpa_path, acoustic_scale=0.5,
+                                  nbest=5, beam=25.0, max_active=200)
+        streamer.reset()
+        with open_stream(lm_dec) as lm_stream:
+            partials = []
+            for t in range(0, x.shape[1] - x.shape[1] % 2, 2):
+                out = streamer.process(x[:, t : t + 2])
+                if out.shape[1]:
+                    lp = np.asarray(jax.nn.log_softmax(out[0], axis=-1))
+                    lm_stream.feed(lp, blank_penalty=math.log(2))
+                    partials.append(
+                        " ".join(lm_stream.nbest()[0].words) or "·"
+                    )
+            out = streamer.flush()
+            if out.shape[1]:
+                lp = np.asarray(jax.nn.log_softmax(out[0], axis=-1))
+                lm_stream.feed(lp, blank_penalty=math.log(2))
+            final_words = lm_stream.nbest()[0].words
+        print(f"   live partial words: {partials}")
+        print(f"   final words:        {final_words}")
+        print(f"   spoken:             "
+              f"{data['test'][0]['transcriptions'][0].split()}")
     print("demo complete:", wd)
 
 
