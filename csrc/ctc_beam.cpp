@@ -678,6 +678,12 @@ int WriteHyps(const Decoder& d, const std::vector<Decoder::Hyp>& hyps,
 // ------------------------------------------------------------------ C API --
 extern "C" {
 
+// Bumped whenever the C ABI changes (ctcb_create signature, session API,
+// output formats). The Python wrapper refuses to load a library whose
+// version does not match, falling back to the Python engine instead of
+// calling through a stale prebuilt .so with the wrong signatures.
+int ctcb_abi_version(void) { return 3; }
+
 void* ctcb_create(const char* lexicon_path, const char* arpa_path,
                   float acoustic_scale, int nbest, float beam, int max_active,
                   float lm_weight, float word_ins_penalty, int top_k_tokens,

@@ -204,8 +204,15 @@ def main() -> None:
         if args.llmBackend == "jax":
             from .jax_lm import jax_causal_scorer
 
-            llm_scorer = jax_causal_scorer(args.llmPath)
-        else:
+            try:
+                llm_scorer = jax_causal_scorer(args.llmPath)
+            except NotImplementedError as e:
+                # checkpoint family the JAX engine doesn't cover (it
+                # supports gpt2/opt) — fall back to the torch path rather
+                # than failing a previously-working command
+                print(f"jax LLM backend unavailable ({e}); "
+                      f"falling back to torch")
+        if llm_scorer is None:
             from .rescore import hf_causal_scorer
 
             llm_scorer = hf_causal_scorer(args.llmPath)

@@ -27,20 +27,49 @@ _CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 _LIB_PATH = os.path.abspath(os.path.join(_CSRC, "libctcbeam.so"))
 
 
-def _load_lib():
-    if not os.path.exists(_LIB_PATH):
-        try:
-            subprocess.run(
-                ["make", "-C", os.path.abspath(_CSRC)],
-                check=True,
-                capture_output=True,
-            )
-        except Exception:
-            return None
+# Must match ctcb_abi_version() in csrc/ctc_beam.cpp. A prebuilt .so from
+# an older checkout either lacks the symbol or returns a different number;
+# both cases rebuild once, then fall back to the Python engine rather than
+# calling through mismatched signatures.
+_ABI_VERSION = 3
+
+
+def _open_lib_checked():
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    try:
+        if lib.ctcb_abi_version() != _ABI_VERSION:
+            return None
+    except AttributeError:
+        return None
+    return lib
+
+
+def _rebuild() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-B", "-C", os.path.abspath(_CSRC)],
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def _load_lib():
+    lib = _open_lib_checked() if os.path.exists(_LIB_PATH) else None
+    if lib is None:
+        # missing OR stale ABI: one rebuild attempt. NOTE: if the stale
+        # library was already dlopen'd into this process, the fresh CDLL
+        # may alias it — the version re-check below catches that too.
+        if not _rebuild():
+            return None
+        lib = _open_lib_checked()
+        if lib is None:
+            return None
     lib.ctcb_create.restype = ctypes.c_void_p
     lib.ctcb_create.argtypes = [
         ctypes.c_char_p, ctypes.c_char_p, ctypes.c_float, ctypes.c_int,
@@ -217,27 +246,27 @@ def lm_decode(
         )
         return hyps if return_nbest else hyps[:1]
 
-    n = decoder.nbest
-    out_phones = np.zeros((n, t), np.int32)
-    out_lens = np.zeros((n,), np.int32)
-    words_buf = ctypes.create_string_buffer(4 << 20)
-    scores = np.zeros((n,), np.float32)
-    ac = np.zeros((n,), np.float32)
-    lm = np.zeros((n,), np.float32)
-    count = _LIB.ctcb_decode(
-        ctypes.c_void_p(decoder.handle),
-        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, k,
-        blank_penalty,
-        out_phones.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        words_buf, len(words_buf),
-        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        ac.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        lm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    hyps = _run_native_nbest(
+        decoder.nbest,
+        t,
+        lambda out_phones, out_lens, words_buf, scores, ac, lm: _LIB.ctcb_decode(
+            ctypes.c_void_p(decoder.handle),
+            lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), t, k,
+            blank_penalty,
+            out_phones.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            words_buf, len(words_buf),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ac.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ),
     )
-    if count < 0:
-        raise RuntimeError(f"native decode failed (code {count})")
-    raw_words = words_buf.raw.split(b"\x1e")
+    return hyps if return_nbest else hyps[:1]
+
+
+def _parse_hyps(count, out_phones, out_lens, words_raw, scores, ac, lm):
+    """Shared native-output parsing (one wire format, one parser)."""
+    raw_words = words_raw.split(b"\x1e")
     hyps = []
     for i in range(count):
         wtxt = raw_words[i].decode() if i < len(raw_words) else ""
@@ -250,7 +279,32 @@ def lm_decode(
                 lm_score=float(lm[i]),
             )
         )
-    return hyps if return_nbest else hyps[:1]
+    return hyps
+
+
+def _run_native_nbest(n, phones_stride, invoke):
+    """Allocate output buffers, call ``invoke`` (returning the hypothesis
+    count or a negative error), parse. The words buffer starts small (the
+    common case is a few hundred bytes) and retries larger on the engine's
+    -2 overflow code — the per-chunk streaming peek stays allocation-light
+    instead of churning a 4 MB buffer per call."""
+    words_cap = 256 * max(n, 1)
+    while True:
+        out_phones = np.zeros((n, phones_stride), np.int32)
+        out_lens = np.zeros((n,), np.int32)
+        words_buf = ctypes.create_string_buffer(words_cap)
+        scores = np.zeros((n,), np.float32)
+        ac = np.zeros((n,), np.float32)
+        lm = np.zeros((n,), np.float32)
+        count = invoke(out_phones, out_lens, words_buf, scores, ac, lm)
+        if count == -2 and words_cap < (64 << 20):
+            words_cap *= 4
+            continue
+        if count < 0:
+            raise RuntimeError(f"native decode failed (code {count})")
+        return _parse_hyps(
+            count, out_phones, out_lens, words_buf.raw, scores, ac, lm
+        )
 
 
 def lm_decode_batch(
@@ -312,20 +366,12 @@ def lm_decode_batch(
                 f"utterance {i}: words buffer overflow (code {count})"
             )
         raw = words_buf.raw[i * words_stride : (i + 1) * words_stride]
-        raw_words = raw.split(b"\x1e")
-        hyps = []
-        for j in range(count):
-            wtxt = raw_words[j].decode() if j < len(raw_words) else ""
-            hyps.append(
-                Hypothesis(
-                    phones=list(out_phones[i, j, : out_lens[i, j]]),
-                    words=[w for w in wtxt.split("\n") if w],
-                    score=float(scores[i, j]),
-                    ac_score=float(ac[i, j]),
-                    lm_score=float(lm[i, j]),
-                )
+        results.append(
+            _parse_hyps(
+                count, out_phones[i], out_lens[i], raw, scores[i], ac[i],
+                lm[i],
             )
-        results.append(hyps)
+        )
     return results
 
 
@@ -371,40 +417,28 @@ class LMStream:
         self._frames += t
 
     def nbest(self) -> list[Hypothesis]:
-        """Current n-best (partial mid-stream, final after the last feed)."""
-        n = self._decoder.nbest
+        """Current n-best (partial mid-stream, final after the last feed).
+
+        May legitimately be empty mid-word: the engine only finalizes
+        states at a word boundary (or with a completable word), so peeks
+        taken while every surviving beam is inside a word return ``[]``.
+        """
         stride = max(self._frames, 1)
-        out_phones = np.zeros((n, stride), np.int32)
-        out_lens = np.zeros((n,), np.int32)
-        words_buf = ctypes.create_string_buffer(4 << 20)
-        scores = np.zeros((n,), np.float32)
-        ac = np.zeros((n,), np.float32)
-        lm = np.zeros((n,), np.float32)
-        count = _LIB.ctcb_session_nbest(
-            ctypes.c_void_p(self._sess), stride,
-            out_phones.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            words_buf, len(words_buf),
-            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ac.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            lm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        return _run_native_nbest(
+            self._decoder.nbest,
+            stride,
+            lambda out_phones, out_lens, words_buf, scores, ac, lm:
+                _LIB.ctcb_session_nbest(
+                    ctypes.c_void_p(self._sess), stride,
+                    out_phones.ctypes.data_as(
+                        ctypes.POINTER(ctypes.c_int32)),
+                    out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                    words_buf, len(words_buf),
+                    scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    ac.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    lm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ),
         )
-        if count < 0:
-            raise RuntimeError(f"session nbest failed (code {count})")
-        raw_words = words_buf.raw.split(b"\x1e")
-        hyps = []
-        for i in range(count):
-            wtxt = raw_words[i].decode() if i < len(raw_words) else ""
-            hyps.append(
-                Hypothesis(
-                    phones=list(out_phones[i, : out_lens[i]]),
-                    words=[w for w in wtxt.split("\n") if w],
-                    score=float(scores[i]),
-                    ac_score=float(ac[i]),
-                    lm_score=float(lm[i]),
-                )
-            )
-        return hyps
 
     def close(self) -> None:
         if self._sess:

@@ -376,6 +376,13 @@ class GRUStreamer:
 
         if self._beam_state is None:
             self._beam_state = beam_init(self.batch, beam_width, max_len)
+        elif self._beam_state.prefixes.shape[1:] != (beam_width, max_len):
+            raise ValueError(
+                "decode_beam width/max_len changed mid-stream "
+                f"(carried state is W={self._beam_state.prefixes.shape[1]}, "
+                f"max_len={self._beam_state.prefixes.shape[2]}); call "
+                "reset() to start a new search"
+            )
         if logits.shape[1]:
             log_probs = jax.nn.log_softmax(
                 jnp.asarray(logits, jnp.float32), axis=-1

@@ -362,16 +362,17 @@ def run_eval(
 
 
 def train_model(args: dict) -> dict:
-    """Train per the reference contract; returns a summary dict."""
-    output_dir = args["outputDir"]
+    """Train per the reference contract; returns a summary dict.
 
-    # Preemption-safe exit, installed before any slow setup/compile work.
-    # The reference's SLURM wrapper asks for a USR1 warning 120 s before
-    # kill (eval_competition.sh:13) but nothing catches it and an
-    # interrupted run restarts from scratch; TPU VMs likewise get SIGTERM
-    # on maintenance/preemption events. Catching either requests a
-    # checkpoint-and-clean-exit at the next step boundary, from which
-    # ``resume: true`` continues exactly (same sampler RNG, same metrics).
+    Preemption-safe: SIGTERM/SIGUSR1 trigger a checkpoint-and-clean-exit
+    at the next step boundary (the reference's SLURM wrapper asks for a
+    USR1 warning 120 s before kill — ``eval_competition.sh:13`` — but
+    nothing catches it and an interrupted run restarts from scratch; TPU
+    VMs likewise get SIGTERM on maintenance events). ``resume: true``
+    then continues exactly (same sampler RNG, same metric history).
+    Handlers are installed before any slow setup/compile work and restored
+    on ALL exits, including exceptions.
+    """
     preempt_requested = threading.Event()
 
     def _request_stop(signum, frame):
@@ -388,7 +389,15 @@ def train_model(args: dict) -> dict:
                 prev_handlers[sig] = signal.signal(sig, _request_stop)
             except (ValueError, OSError):  # pragma: no cover
                 pass
+    try:
+        return _train_model_impl(args, preempt_requested)
+    finally:
+        for sig, h in prev_handlers.items():
+            signal.signal(sig, h)
 
+
+def _train_model_impl(args: dict, preempt_requested) -> dict:
+    output_dir = args["outputDir"]
     seed = int(args.get("seed", 0))
     np_rng = np.random.default_rng(seed)
     # rbg: the TPU's hardware RNG — ~3 ms/step cheaper than threefry for
@@ -628,8 +637,6 @@ def train_model(args: dict) -> dict:
         if ckpt_every and (step + 1) % ckpt_every == 0:
             save_last(step)
 
-    for sig, h in prev_handlers.items():
-        signal.signal(sig, h)
     if preempted_at is not None:
         # ``step`` batches [0, preempted_at) are consumed; save_last records
         # sidecar step = preempted_at, so resume continues exactly there.

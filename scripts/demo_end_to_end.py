@@ -143,14 +143,19 @@ def main():
                 if out.shape[1]:
                     lp = np.asarray(jax.nn.log_softmax(out[0], axis=-1))
                     lm_stream.feed(lp, blank_penalty=math.log(2))
+                    # mid-word peeks can legitimately have no finalizable
+                    # hypothesis yet (every beam is inside a word)
+                    hyps = lm_stream.nbest()
                     partials.append(
-                        " ".join(lm_stream.nbest()[0].words) or "·"
+                        " ".join(hyps[0].words)
+                        if hyps and hyps[0].words else "·"
                     )
             out = streamer.flush()
             if out.shape[1]:
                 lp = np.asarray(jax.nn.log_softmax(out[0], axis=-1))
                 lm_stream.feed(lp, blank_penalty=math.log(2))
-            final_words = lm_stream.nbest()[0].words
+            hyps = lm_stream.nbest()
+            final_words = hyps[0].words if hyps else []
         print(f"   live partial words: {partials}")
         print(f"   final words:        {final_words}")
         print(f"   spoken:             "
