@@ -82,8 +82,6 @@ def _opt_params(sd, cfg):
     fused c_attn) so the hot path is a single MXU-friendly GEMM."""
     if not cfg.do_layer_norm_before:
         raise NotImplementedError("OPT variants with post-LN are not supported")
-    if cfg.word_embed_proj_dim != cfg.hidden_size:
-        raise NotImplementedError("OPT word_embed_proj_dim != hidden_size")
     blocks = []
     for i in range(cfg.num_hidden_layers):
         p = f"model.decoder.layers.{i}."
@@ -109,13 +107,19 @@ def _opt_params(sd, cfg):
                 "bproj": _from_torch(sd[p + "fc2.bias"]),
             }
         )
-    return {
+    out = {
         "wte": _from_torch(sd["model.decoder.embed_tokens.weight"]),
         "wpe": _from_torch(sd["model.decoder.embed_positions.weight"]),
         "blocks": blocks,
         "lnf_g": _from_torch(sd["model.decoder.final_layer_norm.weight"]),
         "lnf_b": _from_torch(sd["model.decoder.final_layer_norm.bias"]),
     }
+    # OPT-350m-style word/hidden dim split: project_in after the embedding,
+    # project_out before the tied LM head (both bias-free Linears).
+    if cfg.word_embed_proj_dim != cfg.hidden_size:
+        out["win"] = _from_torch(sd["model.decoder.project_in.weight"]).T
+        out["wout"] = _from_torch(sd["model.decoder.project_out.weight"]).T
+    return out
 
 
 def load_causal_lm(model_path: str):
@@ -184,7 +188,10 @@ def _forward_logits(params, spec: LMSpec, ids, mask, compute_dtype):
     """[B, T] ids/mask -> [B, T, V] fp32 logits. Causal + padding mask."""
     b, t = ids.shape
     wte = params["wte"].astype(compute_dtype)
-    x = wte[ids] + params["wpe"][spec.pos_offset : spec.pos_offset + t].astype(
+    x = wte[ids]
+    if "win" in params:  # OPT word/hidden dim split (project_in)
+        x = x @ params["win"].astype(compute_dtype)
+    x = x + params["wpe"][spec.pos_offset : spec.pos_offset + t].astype(
         compute_dtype
     )
     n_head = spec.n_head
@@ -228,6 +235,8 @@ def _forward_logits(params, spec: LMSpec, ids, mask, compute_dtype):
 
     x, _ = jax.lax.scan(block, x.astype(compute_dtype), params["blocks"])
     x = _layer_norm(x, params["lnf_g"], params["lnf_b"], spec.ln_eps)
+    if "wout" in params:  # project_out back to the word-embedding dim
+        x = x @ params["wout"].astype(jnp.float32)
     # tied LM head in fp32 (logits feed a log-softmax; bf16 here costs PER)
     return x @ params["wte"].astype(jnp.float32).T
 

@@ -76,6 +76,39 @@ def tiny_opt(tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def tiny_opt_projected(tmp_path_factory):
+    """OPT-350m-style word/hidden dim split (project_in/project_out)."""
+    import torch
+    from transformers import OPTConfig, OPTForCausalLM
+
+    d = tmp_path_factory.mktemp("tiny_opt_proj")
+    tok, vocab_size = _tiny_tokenizer(d)
+    torch.manual_seed(2)
+    model = OPTForCausalLM(
+        OPTConfig(
+            vocab_size=vocab_size, hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, ffn_dim=64, max_position_embeddings=64,
+            word_embed_proj_dim=16, do_layer_norm_before=True,
+            pad_token_id=27, bos_token_id=27, eos_token_id=27,
+        )
+    )
+    model.save_pretrained(str(d))
+    tok.save_pretrained(str(d))
+    return str(d)
+
+
+def test_jax_scorer_opt_projected_dims(tiny_opt_projected):
+    from neural_speech_decoder_tpu.decoding.jax_lm import jax_causal_scorer
+    from neural_speech_decoder_tpu.decoding.rescore import hf_causal_scorer
+
+    torch_scores = hf_causal_scorer(tiny_opt_projected)(SENTENCES)
+    jax_scores = jax_causal_scorer(
+        tiny_opt_projected, compute_dtype="float32"
+    )(SENTENCES)
+    np.testing.assert_allclose(jax_scores, torch_scores, rtol=0, atol=2e-4)
+
+
 @pytest.mark.parametrize("family", ["gpt2", "opt"])
 def test_jax_scorer_matches_torch(family, tiny_gpt2, tiny_opt):
     from neural_speech_decoder_tpu.decoding.jax_lm import jax_causal_scorer
