@@ -117,3 +117,24 @@ def test_stream_requires_native(decoder, tmp_path):
     py = build_lm_decoder(str(lex), None, force_python=True)
     with pytest.raises(RuntimeError, match="native"):
         open_stream(py)
+
+
+def test_partial_nbest_mid_word_speculates(decoder):
+    """A peek taken mid-word surfaces the beam's speculative completions
+    (only word-boundary/completable states finalize — the dominant
+    in-word state itself is not directly reportable), and the stream then
+    converges to the completed word."""
+    rng = np.random.default_rng(2)
+    kae = [phone_to_id(p) + 1 for p in ["K", "AE"]]
+    lp_mid = _logits(rng, kae, t_per=8)  # 16 confident in-word frames
+    with open_stream(decoder) as stream:
+        stream.feed(lp_mid, blank_penalty=math.log(2))
+        partial = stream.nbest()
+        # the only lexicon continuation of "K AE" is "cat" — the top
+        # speculation commits it (deep in the n-best, noise paths like
+        # "bat" survive the beam too)
+        assert partial and partial[0].words == ["cat"]
+        rest = [phone_to_id("T") + 1, phone_to_id("SIL") + 1]
+        stream.feed(_logits(rng, rest, t_per=4), blank_penalty=math.log(2))
+        final = stream.nbest()
+        assert final and final[0].words == ["cat"]
