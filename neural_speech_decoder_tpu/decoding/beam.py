@@ -101,11 +101,18 @@ def beam_search(
     oov_on = oov_cost is not None and root is not None
     unk_wid = -1
     if oov_on:
+        # Resolve <unk> without mutating the caller's Lexicon (the C++
+        # engine only mutates its own privately-loaded copy): when the
+        # lexicon has no <unk> entry, use a virtual id one past the end
+        # and resolve it locally via word_name().
         unk_wid = lexicon.word_ids.get("<unk>")
         if unk_wid is None:
             unk_wid = len(lexicon.words)
-            lexicon.words.append("<unk>")
-            lexicon.word_ids["<unk>"] = unk_wid
+
+    def word_name(w: int) -> str:
+        if lexicon is not None and w < len(lexicon.words):
+            return lexicon.words[w]
+        return "<unk>"
 
     init = _State(node=root, p_b=0.0)
     states: dict[tuple, _State] = {_key(init): init}
@@ -115,7 +122,7 @@ def beam_search(
     def unk_lm_inc(words: tuple[int, ...]) -> float:
         if lm is None:
             return 0.0
-        hist = bos + tuple(lm.word_id(lexicon.words[w]) for w in words)
+        hist = bos + tuple(lm.word_id(word_name(w)) for w in words)
         return lm.score(hist, lm.vocab.get("<unk>", -1))
 
     for t in range(t_max):
@@ -190,11 +197,11 @@ def beam_search(
                             lm_inc = 0.0
                             if lm is not None:
                                 hist = bos + tuple(
-                                    lm.word_id(lexicon.words[w])
+                                    lm.word_id(word_name(w))
                                     for w in s.words
                                 )
                                 lm_inc = lm.score(
-                                    hist, lm.word_id(lexicon.words[wid])
+                                    hist, lm.word_id(word_name(wid))
                                 )
                             upd(
                                 _State(
@@ -232,11 +239,11 @@ def beam_search(
                                 lm_inc = 0.0
                                 if lm is not None:
                                     hist = bos + tuple(
-                                        lm.word_id(lexicon.words[w])
+                                        lm.word_id(word_name(w))
                                         for w in s.words
                                     )
                                     lm_inc = lm.score(
-                                        hist, lm.word_id(lexicon.words[wid])
+                                        hist, lm.word_id(word_name(wid))
                                     )
                                 upd(
                                     _State(
@@ -285,9 +292,9 @@ def beam_search(
                 lm_inc = 0.0
                 if lm is not None:
                     hist = bos + tuple(
-                        lm.word_id(lexicon.words[w]) for w in s.words
+                        lm.word_id(word_name(w)) for w in s.words
                     )
-                    lm_inc = lm.score(hist, lm.word_id(lexicon.words[wid]))
+                    lm_inc = lm.score(hist, lm.word_id(word_name(wid)))
                 cands.append(
                     _State(s.phones, s.words + (wid,), root, s.lm + lm_inc,
                            s.pen, p_b=s.p_b, p_nb=s.p_nb)
@@ -298,7 +305,7 @@ def beam_search(
             lm_total = c.lm
             if lm is not None and "</s>" in lm.vocab:
                 hist = bos + tuple(
-                    lm.word_id(lexicon.words[w]) for w in c.words
+                    lm.word_id(word_name(w)) for w in c.words
                 )
                 lm_total += lm.score(hist, lm.vocab["</s>"])
             ac = c.total()
@@ -311,7 +318,7 @@ def beam_search(
             finals.append(
                 Hypothesis(
                     phones=list(c.phones),
-                    words=[lexicon.words[w] for w in c.words]
+                    words=[word_name(w) for w in c.words]
                     if lexicon is not None
                     else [],
                     score=score,

@@ -70,9 +70,12 @@ def collect_model_outputs(model_path, dataset_path=None, dataset=None,
         "trueSeqs": [],
         "transcriptions": [],
     }
+    # One static (T, U) envelope across the whole partition so the jitted
+    # eval forward compiles once — a per-day envelope would recompile for
+    # every distinct day shape (compile-once discipline; VERDICT r2 §weak-4).
+    t_max, u_max = choose_envelope(pack_days(day_list), time_multiple=128)
     for pos, true_day in zip(range(len(day_list)), day_idxs):
         ds = pack_days([day_list[pos]])
-        t_max, u_max = choose_envelope(ds, time_multiple=128)
         for batch in eval_batches(ds, batch_size, t_max, u_max):
             days = np.full_like(batch.days, true_day)
             log_probs, out_lens, _ = model.forward(

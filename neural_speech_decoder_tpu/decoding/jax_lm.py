@@ -261,6 +261,10 @@ def jax_causal_scorer(
     host, padded into static ``(batch_size, T_bucket)`` shapes (``T`` rounded
     up to ``length_multiple``), and scored by a jitted forward — one compile
     per length bucket, reused across the whole n-best sweep.
+
+    Length limit: sentences longer than the checkpoint's position table
+    (``spec.n_positions``) are truncated to it, with a warning — the
+    returned logprob then covers only that prefix.
     """
     params, spec, tok = load_causal_lm(model_path)
     params = jax.device_put(jax.tree.map(jnp.asarray, params))
@@ -291,6 +295,17 @@ def jax_causal_scorer(
                 spec.n_positions,
             )
             if t > t_pad:  # sentence longer than the position table
+                # The torch hf_causal_scorer (pinned as interchangeable)
+                # would fail loudly here; truncating silently would return
+                # prefix-only logprobs. Warn so the divergence is visible.
+                import warnings
+
+                warnings.warn(
+                    f"sentence batch length {t} exceeds the checkpoint's "
+                    f"position table ({spec.n_positions}); scoring only "
+                    f"the first {t_pad} tokens of over-long sentences",
+                    stacklevel=2,
+                )
                 ids, mask = ids[:, :t_pad], mask[:, :t_pad]
             n = ids.shape[0]
             ids = np.pad(ids, ((0, batch_size - n), (0, t_pad - ids.shape[1])))

@@ -314,13 +314,20 @@ def lm_decode_batch(
     *,
     blank_penalty: float = 0.0,
     n_threads: int = 0,
-    words_stride: int = 1 << 20,
+    words_stride: int | None = None,
 ) -> list[list[Hypothesis]]:
     """Decode ``[N, T_max, K]`` log-probs, OpenMP-parallel over utterances.
 
     ``t_lens[i]`` gives each utterance's real frame count (None = all
     T_max). ``n_threads=0`` uses all cores. Falls back to a serial loop on
     the Python oracle when the native library is unavailable.
+
+    The per-utterance words buffer starts small (``256 * nbest`` bytes —
+    generous for word transcriptions) and the whole batch retries with a
+    4x stride on the engine's -2 overflow code, mirroring
+    ``_run_native_nbest``; a fixed 1 MB/utterance would transiently
+    allocate ~1 GB on a 1,000-utterance eval set for data that typically
+    needs a few hundred bytes per utterance.
     """
     lp = np.ascontiguousarray(log_probs, dtype=np.float32)
     n, t_max, k = lp.shape
@@ -336,28 +343,34 @@ def lm_decode_batch(
         ]
 
     nb = decoder.nbest
-    out_phones = np.zeros((n, nb, t_max), np.int32)
-    out_lens = np.zeros((n, nb), np.int32)
-    out_counts = np.zeros((n,), np.int32)
-    words_buf = ctypes.create_string_buffer(n * words_stride)
-    scores = np.zeros((n, nb), np.float32)
-    ac = np.zeros((n, nb), np.float32)
-    lm = np.zeros((n, nb), np.float32)
-    rc = _LIB.ctcb_decode_batch(
-        ctypes.c_void_p(decoder.handle),
-        lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        n, t_max, k, blank_penalty, n_threads,
-        out_phones.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ctypes.cast(words_buf, ctypes.POINTER(ctypes.c_char)), words_stride,
-        scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        ac.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-        lm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-    )
-    if rc < 0:
-        raise RuntimeError(f"native batch decode failed (code {rc})")
+    stride = words_stride or 256 * max(nb, 1)
+    while True:
+        out_phones = np.zeros((n, nb, t_max), np.int32)
+        out_lens = np.zeros((n, nb), np.int32)
+        out_counts = np.zeros((n,), np.int32)
+        words_buf = ctypes.create_string_buffer(n * stride)
+        scores = np.zeros((n, nb), np.float32)
+        ac = np.zeros((n, nb), np.float32)
+        lm = np.zeros((n, nb), np.float32)
+        rc = _LIB.ctcb_decode_batch(
+            ctypes.c_void_p(decoder.handle),
+            lp.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n, t_max, k, blank_penalty, n_threads,
+            out_phones.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.cast(words_buf, ctypes.POINTER(ctypes.c_char)), stride,
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ac.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            lm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        if rc < 0:
+            raise RuntimeError(f"native batch decode failed (code {rc})")
+        if any(int(c) == -2 for c in out_counts) and stride < (16 << 20):
+            stride *= 4
+            continue
+        break
     results: list[list[Hypothesis]] = []
     for i in range(n):
         count = int(out_counts[i])
@@ -365,7 +378,7 @@ def lm_decode_batch(
             raise RuntimeError(
                 f"utterance {i}: words buffer overflow (code {count})"
             )
-        raw = words_buf.raw[i * words_stride : (i + 1) * words_stride]
+        raw = words_buf.raw[i * stride : (i + 1) * stride]
         results.append(
             _parse_hyps(
                 count, out_phones[i], out_lens[i], raw, scores[i], ac[i],

@@ -228,11 +228,23 @@ def _ff_module(p, x, key, dropout, train):
     return _dropout(k2, h, dropout, train)
 
 
-def _use_fused_attention(cfg: ConformerConfig) -> bool:
+def _use_fused_attention(cfg: ConformerConfig, t: int) -> bool:
+    dh = cfg.latent_dim // cfg.num_heads
+    # VMEM budget gate: the kernel keeps a full [Tp, Tp] f32 score matrix
+    # (plus q/k/v/out [Tp, dh] blocks) per (batch, head) program; the
+    # backward rematerializes a second [Tp, Tp]. Past ~2k frames that
+    # exceeds Mosaic's 16 MB scoped-VMEM default and the compile fails
+    # instead of falling back — so gate on padded T and use the einsum
+    # path for very long sequences (max_pos_len allows 5000).
+    from ..ops.pallas.attention_kernel import _pad_t
+
+    tp = _pad_t(t)
+    vmem_est = 2 * tp * tp * 4 + 4 * tp * dh * 4
     return (
         cfg.fused_attention
         and cfg.compute_dtype == jnp.bfloat16
-        and (cfg.latent_dim // cfg.num_heads) % 128 == 0
+        and dh % 128 == 0
+        and vmem_est <= (12 << 20)
         and jax.default_backend() == "tpu"
     )
 
@@ -259,7 +271,7 @@ def _attention(p, cfg, x, pad_mask, out_lens, key, train):
         return z.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q), heads(k), heads(v)
-    if _use_fused_attention(cfg):
+    if _use_fused_attention(cfg, t):
         from ..ops.pallas.attention_kernel import fused_mhsa
 
         out = fused_mhsa(

@@ -42,6 +42,31 @@ from .common import orthogonal, torch_linear_init, uniform_bound, xavier_uniform
 
 Params = dict[str, Any]
 
+_warned_pallas_fallback = False
+
+
+def _pallas_scan_gate(backend: str, hidden: int, batch: int) -> bool:
+    """Auto-gate for the Pallas GRU scan kernel (needs lane/sublane-tiled
+    shapes: H % 128, B % 16). Warns once when running on TPU but the shapes
+    force the slow ``lax.scan`` path — a user with e.g. B=60 should see why
+    throughput halved rather than silently degrade."""
+    ok = hidden % 128 == 0 and batch % 16 == 0
+    if backend == "tpu" and not ok:
+        global _warned_pallas_fallback
+        if not _warned_pallas_fallback:
+            _warned_pallas_fallback = True
+            import warnings
+
+            warnings.warn(
+                f"GRU shapes (hidden={hidden}, batch={batch}) are not "
+                f"tile-aligned for the Pallas scan kernel (needs hidden "
+                f"% 128 == 0 and batch % 16 == 0); falling back to the "
+                f"~35% slower lax.scan path. Pad the batch or hidden size "
+                f"to recover full throughput.",
+                stacklevel=3,
+            )
+    return backend == "tpu" and ok
+
 
 @dataclasses.dataclass(frozen=True)
 class GRUConfig:
@@ -274,9 +299,7 @@ def gru_encode(
         xp = jnp.transpose(xp, (1, 2, 0, 3))  # [L, D, B, 3H]
         use_pallas = cfg.use_pallas
         if use_pallas is None:
-            use_pallas = (
-                jax.default_backend() == "tpu" and h % 128 == 0 and b % 16 == 0
-            )
+            use_pallas = _pallas_scan_gate(jax.default_backend(), h, b)
         if use_pallas:
             # Direction 1's time reversal happens inside the kernel's block
             # index maps — no flip copies on either side.

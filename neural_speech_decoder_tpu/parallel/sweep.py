@@ -89,8 +89,12 @@ def _run_trial(base_args: dict, trial: Trial) -> Trial:
         args.update(trial.overrides)
         args["outputDir"] = trial.output_dir
         summary = train_model(args)
-        trial.best_cer = float(summary["summary/best_cer"])
-        trial.status = "done"
+        trial.best_cer = float(summary.get("summary/best_cer", float("inf")))
+        # A SIGTERM/SIGUSR1-preempted trial checkpointed cleanly and can be
+        # resumed — record it distinctly, not as a failure.
+        trial.status = (
+            "preempted" if "summary/preempted_at" in summary else "done"
+        )
     except Exception:
         trial.status = "failed"
         trial.error = traceback.format_exc()

@@ -647,7 +647,12 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
             f"Preempted: checkpointed at step {preempted_at - 1}; "
             f"rerun with resume: true to continue from step {preempted_at}"
         )
-        return {"summary/preempted_at": preempted_at}
+        # Include best CER so far so sweep drivers (parallel/sweep.py) can
+        # rank/record a preempted trial instead of crashing on a missing key.
+        return {
+            "summary/preempted_at": preempted_at,
+            "summary/best_cer": float(np.min(test_cer)) if test_cer else float("inf"),
+        }
 
     flush_metrics(pending)
     save_last(n_batch - 1)
