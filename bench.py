@@ -1,26 +1,38 @@
-"""Benchmark: reference-scale GRU-CTC training throughput on one TPU chip.
+"""Benchmark: reference-scale training throughput on one TPU chip.
 
-Measures full training-step throughput (forward + CTC + backward + Adam) at
-the reference baseline configuration (``scripts/train_model.py:4-31``):
-B=64, 256 channels, 5-layer bidirectional GRU H=1024, unfold k=32/s=4,
-Gaussian smoothing, noise augmentation — on synthetic reference-shaped data
-padded to the static T=1280 envelope (maxTimeSeriesLen 1200 rounded up).
+Measures full training-step throughput (forward + CTC + backward +
+optimizer) for BOTH reference model families at their baseline recipes:
 
-Prints ONE JSON line:
+  * GRU (``/root/reference/scripts/train_model.py:4-31``): B=64, 256
+    channels, 5-layer bidirectional GRU H=1024, unfold k=32/s=4, Gaussian
+    smoothing, noise augmentation, Adam.
+  * Conformer (``/root/reference/scripts/train_conformer.py:7-8``): B=64,
+    8 ConformerBlocks d=1024 / ff=2048 / 8 heads, strided-conv frontend,
+    SpecAugment, label smoothing 0.1, InterCTC, AdamW.
+
+Both run on synthetic reference-shaped data padded to the static T=1280
+envelope (maxTimeSeriesLen 1200 rounded up).
+
+Prints one JSON line per family; the FINAL line is the headline GRU
+metric and carries the Conformer numbers as extra keys:
   {"metric": "train_seq_per_s", "value": N, "unit": "seq/s",
-   "vs_baseline": R}
+   "vs_baseline": R, "conformer_seq_per_s": M, "conformer_vs_baseline": S}
 
-``vs_baseline`` compares against a derived 400 seq/s estimate for the
-reference PyTorch implementation on one A100 (the reference publishes no
-numbers). Derivation (full accounting in BASELINE.md §"A100 baseline
-derivation"): the train step is 248.8 GF/sequence at this shape; A100 TF32
-peak is 156 TF/s; cuDNN GEMMs (76% of FLOPs) sustain ~70% of peak and the
-sequential recurrent steps (24%) ~35% at M=64, giving a blended ~88 TF/s
--> 354 seq/s compute-bound, ~+7% for the reference's per-batch-max (vs
-static-envelope) padding, rounded UP to 400 to stay conservative toward
-the baseline. The pre-derivation figure used in round 1 (500) required a
-sustained 124 TF/s = 80% of TF32 peak end-to-end, which cuDNN RNNs do not
-reach at batch 64.
+``vs_baseline`` denominators are derived A100 estimates for the reference
+PyTorch implementation (it publishes no numbers); full accounting +
+sensitivity bands in BASELINE.md §"A100 baseline derivation":
+
+  * GRU: 400 seq/s — 248.8 GF/seq train step; cuDNN TF32 (156 TF/s peak,
+    the reference leaves torch-1.13 cuDNN defaults) at ~70% on the big
+    GEMMs / ~35% on the M=64 sequential recurrence → blended ~88 TF/s.
+    Sensitivity band 330-480 (BASELINE.md).
+  * Conformer: 350 seq/s — 250.6 GF/seq; assumes the user *enables*
+    TF32 matmuls (the reference as written leaves
+    ``torch.backends.cuda.matmul.allow_tf32=False``, which would cap the
+    A100 at fp32 SGEMM ≈ 17 TF/s → ~65 seq/s; we charge ourselves the
+    strong TF32 figure). ~105 TF/s blended on the FF/proj-dominated
+    profile, +25% eager-mode elementwise overhead → ~335, rounded up.
+    Sensitivity band 300-390 (BASELINE.md).
 """
 
 import json
@@ -31,10 +43,11 @@ sys.path.insert(0, ".")
 
 import numpy as np
 
-A100_BASELINE_SEQ_PER_S = 400.0  # derived estimate; see module docstring
+A100_BASELINE_SEQ_PER_S = 400.0  # GRU; see module docstring + BASELINE.md
+A100_CONFORMER_BASELINE_SEQ_PER_S = 350.0  # TF32-enabled best practice
 
 
-def main() -> None:
+def bench_family(args, b=64, t=1280, u=64, n_steps=20):
     import jax
     import jax.numpy as jnp
 
@@ -44,28 +57,6 @@ def main() -> None:
         make_train_step,
     )
 
-    args = {
-        "model_type": "gru_baseline",
-        "nInputFeatures": 256,
-        "nClasses": 40,
-        "nUnits": 1024,
-        "nLayers": 5,
-        "dropout": 0.4,
-        "strideLen": 4,
-        "kernelLen": 32,
-        "gaussianSmoothWidth": 2.0,
-        "bidirectional": True,
-        "whiteNoiseSD": 0.8,
-        "constantOffsetSD": 0.2,
-        "lrStart": 0.02,
-        "lrEnd": 0.02,
-        "l2_decay": 1e-5,
-        "nBatch": 10000,
-        "seed": 0,
-        "compute_dtype": "bfloat16",
-        "watch_log_freq": 0,
-    }
-    b, t, u = 64, 1280, 64
     model = build_model(args, n_days=24)
     params = model.init(jax.random.key(0))
     tx, _ = make_optimizer(args)
@@ -93,25 +84,85 @@ def main() -> None:
     # Warmup: compile + 2 steps. NOTE: block via a host transfer (float()),
     # not block_until_ready — the latter is a no-op through the experimental
     # axon TPU tunnel and yields bogus timings.
-    for i in range(3):
+    for _ in range(3):
         state, metrics = train_step(state, x, y, x_lens, y_lens, days, key)
         float(metrics["train/loss"])
 
-    n_steps = 20
     start = time.perf_counter()
-    for i in range(n_steps):
+    for _ in range(n_steps):
         state, metrics = train_step(state, x, y, x_lens, y_lens, days, key)
     float(metrics["train/loss"])
     elapsed = time.perf_counter() - start
+    return b * n_steps / elapsed
 
-    seq_per_s = b * n_steps / elapsed
+
+GRU_ARGS = {
+    "model_type": "gru_baseline",
+    "nInputFeatures": 256,
+    "nClasses": 40,
+    "nUnits": 1024,
+    "nLayers": 5,
+    "dropout": 0.4,
+    "strideLen": 4,
+    "kernelLen": 32,
+    "gaussianSmoothWidth": 2.0,
+    "bidirectional": True,
+    "whiteNoiseSD": 0.8,
+    "constantOffsetSD": 0.2,
+    "lrStart": 0.02,
+    "lrEnd": 0.02,
+    "l2_decay": 1e-5,
+    "nBatch": 10000,
+    "seed": 0,
+    "compute_dtype": "bfloat16",
+    "watch_log_freq": 0,
+}
+
+CONFORMER_ARGS = {
+    "model_type": "transformer_ctc",
+    "nInputFeatures": 256,
+    "nClasses": 40,
+    "gaussianSmoothWidth": 2.0,
+    "whiteNoiseSD": 1.0,
+    "constantOffsetSD": 0.2,
+    "lrStart": 4e-4,
+    "lrEnd": 4e-4,
+    "l2_decay": 1e-3,
+    "nBatch": 15000,
+    "seed": 0,
+    "compute_dtype": "bfloat16",
+    "watch_log_freq": 0,
+    "label_smoothing": 0.1,
+    "optimizer": "adamw",
+}
+
+
+def main() -> None:
+    conf_seq_s = bench_family(CONFORMER_ARGS)
+    print(
+        json.dumps(
+            {
+                "metric": "conformer_train_seq_per_s",
+                "value": round(conf_seq_s, 2),
+                "unit": "seq/s",
+                "vs_baseline": round(
+                    conf_seq_s / A100_CONFORMER_BASELINE_SEQ_PER_S, 3
+                ),
+            }
+        )
+    )
+    gru_seq_s = bench_family(GRU_ARGS)
     print(
         json.dumps(
             {
                 "metric": "train_seq_per_s",
-                "value": round(seq_per_s, 2),
+                "value": round(gru_seq_s, 2),
                 "unit": "seq/s",
-                "vs_baseline": round(seq_per_s / A100_BASELINE_SEQ_PER_S, 3),
+                "vs_baseline": round(gru_seq_s / A100_BASELINE_SEQ_PER_S, 3),
+                "conformer_seq_per_s": round(conf_seq_s, 2),
+                "conformer_vs_baseline": round(
+                    conf_seq_s / A100_CONFORMER_BASELINE_SEQ_PER_S, 3
+                ),
             }
         )
     )

@@ -64,6 +64,16 @@ class ConformerConfig:
     # VJP) on the TPU bf16 fast path; fp32 keeps the naive einsum path for
     # exact torch parity. See ops/pallas/attention_kernel.py.
     fused_attention: bool = True
+    # Head-parallel tensor parallelism: when True, in_proj_w/in_proj_b use
+    # the per-head-interleaved column order (head, {q,k,v}, dh) instead of
+    # torch's ({q,k,v}, head, dh), so sharding the last weight axis over a
+    # 'model' mesh axis keeps whole heads local — MHSA runs with zero
+    # collectives until the row-parallel out projection's psum. Pure
+    # column permutation: single-device numerics are bit-identical.
+    # Enabled automatically by the trainer under n_model_devices > 1
+    # (parallel/shardings.py::interleave_attention_params relays the
+    # canonically-initialized weights).
+    qkv_interleaved: bool = False
     dtype: Any = jnp.float32  # parameter dtype
     # Activation/matmul dtype (bf16 on the MXU with f32 accumulation and f32
     # norm/softmax statistics); float32 keeps exact torch parity for tests.
@@ -242,6 +252,7 @@ def _use_fused_attention(cfg: ConformerConfig, t: int) -> bool:
     vmem_est = 2 * tp * tp * 4 + 4 * tp * dh * 4
     return (
         cfg.fused_attention
+        and not cfg.qkv_interleaved  # TP path: GSPMD-partitioned einsums
         and cfg.compute_dtype == jnp.bfloat16
         and dh % 128 == 0
         and vmem_est <= (12 << 20)
@@ -265,12 +276,18 @@ def _attention(p, cfg, x, pad_mask, out_lens, key, train):
                    preferred_element_type=jnp.float32)
         + p["in_proj_b"].astype(jnp.float32)
     ).astype(x.dtype)
-    q, k, v = jnp.split(qkv, 3, axis=-1)
+    if cfg.qkv_interleaved:
+        # TP layout (see ConformerConfig.qkv_interleaved): the (divisible)
+        # reshape keeps the 'model'-sharded axis on heads — no resharding.
+        z = qkv.reshape(b, t, num_heads, 3, dh)
+        q, k, v = (z[:, :, :, i].transpose(0, 2, 1, 3) for i in range(3))
+    else:
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
-    def heads(z):
-        return z.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
+        def heads(z):
+            return z.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
 
-    q, k, v = heads(q), heads(k), heads(v)
+        q, k, v = heads(q), heads(k), heads(v)
     if _use_fused_attention(cfg, t):
         from ..ops.pallas.attention_kernel import fused_mhsa
 

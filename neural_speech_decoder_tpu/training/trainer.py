@@ -96,6 +96,14 @@ def build_model(args: dict, n_days: int) -> ModelAPI:
             drop_path_prob=args.get("drop_path_prob", 0.1),
             compute_dtype=jnp.dtype(args.get("compute_dtype", "float32")),
             fused_attention=args.get("fused_attention", True),
+            # Head-parallel TP needs the per-head-interleaved qkv layout
+            # (parallel/shardings.py applies the matching weight relayout).
+            qkv_interleaved=bool(
+                args.get(
+                    "qkv_interleaved",
+                    int(args.get("n_model_devices", 1) or 1) > 1,
+                )
+            ),
         )
 
         def forward(params, x, day_idx, x_lens, *, train, key):
@@ -461,7 +469,8 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
         from ..parallel.shardings import shard_params
 
         params = shard_params(
-            state["params"], mesh, args.get("model_type", "gru_baseline")
+            state["params"], mesh, args.get("model_type", "gru_baseline"),
+            num_heads=args.get("transformer_n_heads", 8),
         )
         state = {
             "params": params,
