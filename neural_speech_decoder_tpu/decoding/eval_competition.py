@@ -37,10 +37,15 @@ COMPETITION_DAY_IDXS = [4, 5, 6, 7, 8, 9, 10, 12, 13, 14, 15, 16, 18, 19, 20]
 
 
 def collect_model_outputs(model_path, dataset_path=None, dataset=None,
-                          partition="competition", batch_size=16):
+                          partition="competition", batch_size=16,
+                          model_bundle=None):
     """Run the trained model over the partition; returns the reference's
     ``rnn_outputs`` structure (logits, logitLengths, trueSeqs,
-    transcriptions)."""
+    transcriptions).
+
+    ``model_bundle=(params, model)`` skips the run-dir load — used by
+    ``scripts/parity_report.py`` to evaluate torch-imported weights that
+    never lived in a framework run directory."""
     import jax.numpy as jnp
 
     from ..data.batching import choose_envelope, eval_batches
@@ -48,7 +53,10 @@ def collect_model_outputs(model_path, dataset_path=None, dataset=None,
     from ..training.trainer import load_model
 
     raw = dataset if dataset is not None else load_pickle_dataset(dataset_path)
-    params, model, args = load_model(model_path, len(raw["train"]))
+    if model_bundle is not None:
+        params, model = model_bundle
+    else:
+        params, model, args = load_model(model_path, len(raw["train"]))
 
     day_list = raw[partition]
     n_train_days = len(raw["train"])
