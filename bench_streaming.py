@@ -85,6 +85,55 @@ def capacity() -> None:
     }))
 
 
+def _make_conformer(batch: int = 1):
+    import jax
+
+    from neural_speech_decoder_tpu.models.conformer import (
+        ConformerConfig,
+        init_conformer_params,
+    )
+    from neural_speech_decoder_tpu.streaming.conformer import ConformerStreamer
+
+    cfg = ConformerConfig(
+        n_channels=256,
+        n_days=24,
+        dropout=0.0,
+        drop_path_prob=0.0,
+        head_dropout=0.0,
+        use_spec_augment=False,
+        causal=True,
+        attn_left_context=128,
+        compute_dtype="bfloat16",
+    )
+    params = init_conformer_params(jax.random.key(0), cfg=cfg)
+    return ConformerStreamer(
+        params, cfg, day_idx=0, batch=batch, frames_per_chunk=1
+    )
+
+
+def conformer_latency() -> None:
+    """Per-chunk latency of the causal-Conformer streamer (reference-scale:
+    8 blocks d=1024, 128-frame attention context, 80 ms chunks)."""
+    streamer = _make_conformer(1)
+    rng = np.random.default_rng(0)
+    chunk = lambda: rng.standard_normal((1, 4, 256)).astype(np.float32)
+    for _ in range(30):  # warm: fill lookahead/conv context + compile
+        streamer.process(chunk())
+    lat = []
+    for _ in range(50):
+        t0 = time.perf_counter()
+        streamer.process(chunk())
+        lat.append((time.perf_counter() - t0) * 1e3)
+    p50 = float(np.percentile(lat, 50))
+    print(json.dumps({
+        "metric": "conformer_stream_p50_latency_ms",
+        "value": round(p50, 3),
+        "unit": "ms",
+        "note": "includes one host readback per chunk (~31 ms fixed "
+                "through the remote tunnel; sub-ms on a real host)",
+    }))
+
+
 def main() -> None:
     streamer = _make(1)
 
@@ -134,5 +183,7 @@ def main() -> None:
 if __name__ == "__main__":
     if "--capacity" in sys.argv:
         capacity()
+    elif "--conformer" in sys.argv:
+        conformer_latency()
     else:
         main()

@@ -181,6 +181,24 @@ def run_pipeline(
     }
 
 
+def _is_large_opt(llm_path: str, threshold: float = 1e9) -> bool:
+    """True when the checkpoint is an OPT-family model over ~1B params —
+    the scale where the streamed engine (llm_engine.py) replaces the
+    whole-model loader (jax_lm.py)."""
+    import json
+
+    try:
+        with open(os.path.join(llm_path, "config.json")) as f:
+            c = json.load(f)
+        if c.get("model_type") != "opt":
+            return False
+        d, ffn = c["hidden_size"], c["ffn_dim"]
+        est = c["num_hidden_layers"] * (4 * d * d + 2 * d * ffn)
+        return est > threshold
+    except Exception:
+        return False
+
+
 def main() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--modelPath", required=True)
@@ -195,6 +213,11 @@ def main() -> None:
                         help="rescoring engine: 'jax' runs the checkpoint "
                              "as a jitted JAX forward on the TPU (default); "
                              "'torch' keeps the HF CPU path")
+    parser.add_argument("--llmDtype", default="bf16",
+                        choices=("bf16", "int8"),
+                        help="weight precision for >1B-param jax "
+                             "rescoring (int8 mirrors the reference's "
+                             "8-bit OPT-6.7B setting and halves HBM)")
     parser.add_argument("--acousticScale", type=float, default=0.5)
     parser.add_argument("--blankPenalty", type=float, default=math.log(7))
     parser.add_argument("--nbest", type=int, default=100)
@@ -216,7 +239,17 @@ def main() -> None:
             from .jax_lm import jax_causal_scorer
 
             try:
-                llm_scorer = jax_causal_scorer(args.llmPath)
+                if _is_large_opt(args.llmPath):
+                    # Reference scale (OPT-6.7B class): streamed bf16/int8
+                    # loading + the scan engine — never materializes the
+                    # checkpoint in fp32 (decoding/llm_engine.py).
+                    from .llm_engine import engine_scorer
+
+                    llm_scorer = engine_scorer(
+                        args.llmPath, quantize=(args.llmDtype == "int8")
+                    )
+                else:
+                    llm_scorer = jax_causal_scorer(args.llmPath)
             except NotImplementedError as e:
                 # checkpoint family the JAX engine doesn't cover (it
                 # supports gpt2/opt) — fall back to the torch path rather

@@ -74,6 +74,15 @@ class ConformerConfig:
     # (parallel/shardings.py::interleave_attention_params relays the
     # canonically-initialized weights).
     qkv_interleaved: bool = False
+    # Streaming-capable causal variant: banded self-attention (each frame
+    # attends to itself and at most ``attn_left_context`` past frames) and
+    # left-padded (causal) depthwise conv modules. The offline causal
+    # forward is exactly reproduced chunk-by-chunk by
+    # ``streaming.conformer.ConformerStreamer`` with carried KV/conv
+    # caches — the Conformer analog of the unidirectional-GRU streaming
+    # mode (SURVEY.md §5; the bidirectional default cannot stream).
+    causal: bool = False
+    attn_left_context: int = 128
     dtype: Any = jnp.float32  # parameter dtype
     # Activation/matmul dtype (bf16 on the MXU with f32 accumulation and f32
     # norm/softmax statistics); float32 keeps exact torch parity for tests.
@@ -253,6 +262,7 @@ def _use_fused_attention(cfg: ConformerConfig, t: int) -> bool:
     return (
         cfg.fused_attention
         and not cfg.qkv_interleaved  # TP path: GSPMD-partitioned einsums
+        and not cfg.causal  # banded mask not supported by the kernel
         and cfg.compute_dtype == jnp.bfloat16
         and dh % 128 == 0
         and vmem_est <= (12 << 20)
@@ -302,6 +312,12 @@ def _attention(p, cfg, x, pad_mask, out_lens, key, train):
         ) / math.sqrt(dh)
         if pad_mask is not None:  # pad_mask: [B, T] True = padding
             scores = jnp.where(pad_mask[:, None, None, :], -1e9, scores)
+        if cfg.causal:
+            # banded mask: query i sees keys in [i - left_context, i]
+            qi = jnp.arange(t)[:, None]
+            kj = jnp.arange(t)[None, :]
+            band = (kj <= qi) & (qi - kj <= cfg.attn_left_context)
+            scores = jnp.where(band[None, None, :, :], scores, -1e9)
         probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
         if key is not None:
             probs = _dropout(key, probs, dropout, train)
@@ -311,22 +327,27 @@ def _attention(p, cfg, x, pad_mask, out_lens, key, train):
     return _linear(p["out"], out)
 
 
-def _conv_module(p, x, key, dropout, train):
-    """Conformer conv module incl. residual (transformer_ctc.py:148-191)."""
+def _conv_module(p, x, key, dropout, train, causal=False):
+    """Conformer conv module incl. residual (transformer_ctc.py:148-191).
+
+    ``causal=True`` left-pads the depthwise conv (k-1, 0) so each output
+    frame depends only on past/current frames (streaming mode)."""
     residual = x
     h = _layer_norm(p["ln"], x)
     h = _linear(p["pw1"], h)  # [B, T, 2D]
     a, g = jnp.split(h, 2, axis=-1)
     h = a * jax.nn.sigmoid(g)  # GLU
-    # Depthwise conv along time, 'same' padding (odd kernel).
+    # Depthwise conv along time; 'same' padding offline, causal when
+    # streaming-compatible.
     kernel = p["dw_w"][:, None, :]  # [k, 1, D]
-    pad = p["dw_w"].shape[0] // 2
+    kw = p["dw_w"].shape[0]
+    pad = (kw - 1, 0) if causal else (kw // 2, kw // 2)
     h = (
         jax.lax.conv_general_dilated(
             h,
             kernel.astype(h.dtype),
             window_strides=(1,),
-            padding=[(pad, pad)],
+            padding=[pad],
             dimension_numbers=("NTC", "TIO", "NTC"),
             feature_group_count=h.shape[-1],
         ).astype(jnp.float32)
@@ -351,7 +372,8 @@ def _block(p, cfg: ConformerConfig, x, pad_mask, out_lens, key, train):
     attn = _attention(p["attn"], cfg, x, pad_mask, out_lens, keys[2], train)
     attn = _dropout(keys[3], attn, cfg.dropout, train)
     x = x + _drop_path(keys[4], attn, cfg.drop_path_prob, train)
-    x = _conv_module(p["conv"], x, keys[5], cfg.dropout, train)
+    x = _conv_module(p["conv"], x, keys[5], cfg.dropout, train,
+                     causal=cfg.causal)
     x = x + _drop_path(
         keys[6], 0.5 * _ff_module(p["ff2"], x, keys[7], cfg.dropout, train),
         cfg.drop_path_prob, train,

@@ -1,3 +1,4 @@
+from .conformer import ConformerStreamer
 from .engine import GRUStreamer
 
-__all__ = ["GRUStreamer"]
+__all__ = ["GRUStreamer", "ConformerStreamer"]

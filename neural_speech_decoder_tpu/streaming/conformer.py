@@ -1,0 +1,334 @@
+"""Chunked streaming inference for the causal Conformer.
+
+The reference Conformer (``transformer_ctc.py:333-501``) is bidirectional
+(full self-attention) and cannot stream, exactly like the reference GRU's
+bidirectional default (SURVEY.md §5). ``ConformerConfig(causal=True)``
+defines the streaming-compatible variant — banded self-attention with a
+finite left context and causal depthwise convs — and this module runs its
+offline forward **incrementally**, chunk-boundary-invariantly:
+
+  * raw bins buffer until each smoothed bin's full 9-tap receptive field
+    has arrived (same structural-lookahead policy as ``GRUStreamer``);
+  * the strided frontend conv carries its ``k - s`` bin overlap;
+  * every ConformerBlock carries a fixed-size K/V cache of the last
+    ``attn_left_context`` frames (the attention window) and the
+    ``conv_kernel - 1`` GLU frames its causal depthwise conv needs;
+  * the sinusoidal positional encoding indexes by absolute frame offset;
+  * one fixed-shape jitted step per chunk (state donated — the caches
+    update in place on device).
+
+``flush()`` applies the offline right-padding semantics so a fully
+streamed utterance matches ``conformer_forward`` on the same causal
+config to fp32 round-off (pinned by ``tests/test_conformer_streaming.py``).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.conformer import (
+    ConformerConfig,
+    _layer_norm,
+    _linear,
+    sinusoidal_pos_encoding,
+)
+from ..ops.gaussian import gaussian_kernel
+
+
+class ConformerStreamer:
+    """Chunked streaming decoder for the causal Conformer.
+
+    Args:
+      params: Conformer parameter pytree (``init_conformer_params``).
+      cfg: model config; ``causal`` must be True (``bidirectional``
+        attention cannot stream), ``qkv_interleaved`` must be False.
+      day_idx: recording-day index for the session being streamed.
+      batch: number of parallel streams.
+      frames_per_chunk: encoder frames emitted per jitted step (chunk size
+        in bins = ``frames_per_chunk * temporal_stride``).
+    """
+
+    def __init__(
+        self,
+        params,
+        cfg: ConformerConfig,
+        day_idx: int,
+        *,
+        batch: int = 1,
+        frames_per_chunk: int = 1,
+    ):
+        if not cfg.causal:
+            raise ValueError(
+                "streaming requires ConformerConfig(causal=True) — full "
+                "self-attention depends on future frames"
+            )
+        if cfg.qkv_interleaved:
+            raise ValueError("streaming uses the canonical qkv layout")
+        self.cfg = cfg
+        self.batch = batch
+        self.frames_per_chunk = frames_per_chunk
+
+        from ..ops.gaussian import conformer_kernel_size
+
+        self.k_smooth = (
+            conformer_kernel_size(cfg.gaussian_smooth_width)
+            if cfg.gaussian_smooth_width > 0 else 1
+        )
+        pad_l, pad_r = self.k_smooth // 2, self.k_smooth - 1 - self.k_smooth // 2
+        self.pad_left, self.lookahead = pad_l, pad_r
+        taps = (
+            gaussian_kernel(self.k_smooth, cfg.gaussian_smooth_width)
+            if self.k_smooth > 1 else np.ones((1,), np.float32)
+        )
+        self._taps = jnp.asarray(taps)
+        self._w_day = params["day"]["weight"][day_idx]
+        self._b_day = params["day"]["bias"][day_idx]
+        # Params are a jit ARGUMENT (not a closure capture): closed-over
+        # arrays embed as HLO constants, which at 8-block scale makes the
+        # program megabytes large (and overflows the remote-compile
+        # request through the axon tunnel).
+        self._params = jax.device_put(params)
+        self._pe = sinusoidal_pos_encoding(
+            cfg.max_pos_len, cfg.latent_dim, cfg.compute_dtype
+        )
+        self._prep = self._build_prep()
+        self._steps: dict[int, callable] = {}
+        self.reset()
+
+    # -- state ------------------------------------------------------------
+    def reset(self) -> None:
+        cfg = self.cfg
+        c, b = cfg.n_channels, self.batch
+        nl, nh = cfg.num_layers, cfg.num_heads
+        dh = cfg.latent_dim // nh
+        lc = cfg.attn_left_context
+        kc = cfg.conv_kernel
+        cdt = cfg.compute_dtype
+        self._raw = np.zeros((b, self.pad_left, c), np.float32)
+        self._bins = np.zeros((b, 0, c), np.float32)
+        self._offset = 0  # frames emitted so far
+        self._caches = (
+            jnp.zeros((nl, b, nh, lc, dh), cdt),   # K cache
+            jnp.zeros((nl, b, nh, lc, dh), cdt),   # V cache
+            jnp.zeros((nl, b, kc - 1, cfg.latent_dim), cdt),  # conv ctx
+        )
+        self._flushed = False
+        self._decode_prev = np.full((b,), -1, np.int64)
+
+    # -- jitted pieces ------------------------------------------------------
+    def _build_prep(self):
+        """[B, n + k_smooth - 1, C] raw bins -> [B, n, C] day-affined +
+        smoothed bins (VALID conv; model order: affine THEN smooth —
+        conformer_forward applies day_affine before the frontend)."""
+        taps = self._taps
+        cdt = self.cfg.compute_dtype
+
+        @jax.jit
+        def prep(raw_window, w_day, b_day):
+            x = raw_window.astype(cdt)
+            y = (
+                jnp.einsum("btd,dk->btk", x, w_day.astype(cdt),
+                           preferred_element_type=jnp.float32)
+                + b_day.astype(jnp.float32)
+            ).astype(cdt)
+            c = y.shape[-1]
+            kernel = jnp.tile(taps[:, None, None], (1, 1, c)).astype(y.dtype)
+            return jax.lax.conv_general_dilated(
+                y, kernel, (1,), [(0, 0)],
+                dimension_numbers=("NTC", "TIO", "NTC"),
+                feature_group_count=c,
+            )
+
+        return prep
+
+    def _step_for(self, n_f: int):
+        fn = self._steps.get(n_f)
+        if fn is None:
+            fn = self._steps[n_f] = self._build_step(n_f)
+        return fn
+
+    def _build_step(self, n_f: int):
+        cfg = self.cfg
+        k, s = cfg.temporal_kernel, cfg.temporal_stride
+        nh = cfg.num_heads
+        d = cfg.latent_dim
+        dh = d // nh
+        lc = cfg.attn_left_context
+        l_att = cfg.attn_left_context
+        kc = cfg.conv_kernel
+        cdt = cfg.compute_dtype
+        pe = self._pe
+
+        def ff(p, z):
+            h = _linear(p["lin1"], _layer_norm(p["ln"], z))
+            return _linear(p["lin2"], jax.nn.silu(h))
+
+        @partial(jax.jit, donate_argnums=(2,))
+        def step(params, bins, caches, offset):
+            """bins: [B, k+(n_f-1)s, C] smoothed+affined bins covering n_f
+            frames; caches: (kv_k, kv_v, conv_ctx); offset: frames already
+            emitted. Returns (log_probs [B, n_f, K], new_caches)."""
+            kv_k, kv_v, conv_ctx = caches
+            b = bins.shape[0]
+            x = bins.astype(cdt)
+            # frontend: depthwise strided conv (VALID) -> proj -> LN
+            kernel = params["frontend"]["tconv_w"][:, None, :]
+            z = jax.lax.conv_general_dilated(
+                x, kernel.astype(x.dtype), window_strides=(s,),
+                padding=[(0, 0)],
+                dimension_numbers=("NTC", "TIO", "NTC"),
+                feature_group_count=x.shape[-1],
+            )  # [B, n_f, C]
+            z = _linear(params["frontend"]["proj"], z)
+            z = _layer_norm(params["frontend"]["ln"], z)
+            z = _linear(
+                params["bottleneck"]["lin2"],
+                jax.nn.relu(_linear(params["bottleneck"]["lin1"], z)),
+            )
+            z = z + jax.lax.dynamic_slice(
+                pe, (offset, 0), (n_f, d)
+            )[None, :, :]
+
+            qpos = offset + jnp.arange(n_f)[:, None]           # [n_f, 1]
+            kpos = offset - lc + jnp.arange(lc + n_f)[None, :]  # [1, lc+n_f]
+            ok = (kpos >= 0) & (kpos <= qpos) & (qpos - kpos <= l_att)
+
+            new_k, new_v, new_cc = [], [], []
+            for li, bp in enumerate(params["blocks"]):
+                z = z + 0.5 * ff(bp["ff1"], z)
+                # banded attention over cached + new keys
+                xn = _layer_norm(bp["attn"]["ln"], z)
+                qkv = (
+                    jnp.einsum("bnd,dk->bnk", xn,
+                               bp["attn"]["in_proj_w"].astype(z.dtype),
+                               preferred_element_type=jnp.float32)
+                    + bp["attn"]["in_proj_b"].astype(jnp.float32)
+                ).astype(z.dtype)
+                q, kn, vn = jnp.split(qkv, 3, axis=-1)
+
+                def heads(a):
+                    return a.reshape(b, n_f, nh, dh).transpose(0, 2, 1, 3)
+
+                q, kn, vn = heads(q), heads(kn), heads(vn)
+                keys = jnp.concatenate([kv_k[li], kn], axis=2)
+                vals = jnp.concatenate([kv_v[li], vn], axis=2)
+                scores = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, keys,
+                    preferred_element_type=jnp.float32,
+                ) / math.sqrt(dh)
+                scores = jnp.where(ok[None, None, :, :], scores, -1e9)
+                probs = jax.nn.softmax(scores, axis=-1).astype(z.dtype)
+                att = jnp.einsum(
+                    "bhqk,bhkd->bhqd", probs, vals,
+                    preferred_element_type=jnp.float32,
+                ).astype(z.dtype)
+                att = att.transpose(0, 2, 1, 3).reshape(b, n_f, d)
+                z = z + _linear(bp["attn"]["out"], att)
+                new_k.append(keys[:, :, -lc:])
+                new_v.append(vals[:, :, -lc:])
+                # causal conv module with carried GLU context
+                h = _linear(bp["conv"]["pw1"],
+                            _layer_norm(bp["conv"]["ln"], z))
+                a_h, g = jnp.split(h, 2, axis=-1)
+                h = a_h * jax.nn.sigmoid(g)
+                full = jnp.concatenate([conv_ctx[li], h], axis=1)
+                dw = bp["conv"]["dw_w"][:, None, :]
+                hc = (
+                    jax.lax.conv_general_dilated(
+                        full, dw.astype(full.dtype), (1,), [(0, 0)],
+                        dimension_numbers=("NTC", "TIO", "NTC"),
+                        feature_group_count=full.shape[-1],
+                    ).astype(jnp.float32)
+                    + bp["conv"]["dw_b"].astype(jnp.float32)
+                ).astype(full.dtype)
+                hc = _layer_norm(bp["conv"]["ln_conv"], hc)
+                hc = _linear(bp["conv"]["pw2"], jax.nn.silu(hc))
+                z = z + hc
+                new_cc.append(full[:, -(kc - 1):])
+                z = z + 0.5 * ff(bp["ff2"], z)
+                z = _layer_norm(bp["ln_final"], z)
+
+            h = _linear(params["head"]["lin1"], z)
+            h = jax.nn.gelu(_layer_norm(params["head"]["ln"], h),
+                            approximate=False)
+            logits = _linear(params["head"]["lin2"], h).astype(jnp.float32)
+            new_caches = (
+                jnp.stack(new_k), jnp.stack(new_v), jnp.stack(new_cc)
+            )
+            return jax.nn.log_softmax(logits, axis=-1), new_caches
+
+        return step
+
+    # -- public API --------------------------------------------------------
+    def process(self, new_bins: np.ndarray) -> np.ndarray:
+        """Feed ``[B, n, C]`` new raw bins; returns ``[B, m, K]`` log-probs
+        for every encoder frame that became fully determined (m may be 0)."""
+        assert not self._flushed, "stream already flushed; call reset()"
+        self._raw = np.concatenate(
+            [self._raw, np.asarray(new_bins, np.float32)], axis=1
+        )
+        return self._drain()
+
+    def flush(self) -> np.ndarray:
+        """Apply the offline right-padding semantics to the tail and emit
+        the remaining frames."""
+        assert not self._flushed
+        self._flushed = True
+        if self.lookahead > 0:
+            pad = np.zeros(
+                (self.batch, self.lookahead, self.cfg.n_channels), np.float32
+            )
+            self._raw = np.concatenate([self._raw, pad], axis=1)
+        return self._drain(final=True)
+
+    def _drain(self, final: bool = False) -> np.ndarray:
+        ks = self.k_smooth
+        n_smoothable = self._raw.shape[1] - (ks - 1)
+        if n_smoothable > 0:
+            window = jnp.asarray(self._raw[:, : n_smoothable + ks - 1])
+            sm = np.asarray(self._prep(window, self._w_day, self._b_day))
+            self._bins = np.concatenate([self._bins, sm], axis=1)
+            self._raw = self._raw[:, n_smoothable:]
+        k, s = self.cfg.temporal_kernel, self.cfg.temporal_stride
+        n_f = self.frames_per_chunk
+        out = []
+
+        def emit(nf):
+            need = k + (nf - 1) * s
+            chunk = jnp.asarray(self._bins[:, :need])
+            logp, self._caches = self._step_for(nf)(
+                self._params, chunk, self._caches, self._offset
+            )
+            self._offset += nf
+            out.append(np.asarray(logp))
+            self._bins = self._bins[:, nf * s:]
+
+        while self._bins.shape[1] >= k + (n_f - 1) * s:
+            emit(n_f)
+        if final:
+            while self._bins.shape[1] >= k:
+                emit(1)
+        if out:
+            return np.concatenate(out, axis=1)
+        return np.zeros((self.batch, 0, self.cfg.n_classes + 1), np.float32)
+
+    def decode_greedy(self, log_probs: np.ndarray) -> list[list[int]]:
+        """Incremental greedy CTC decode (argmax → collapse → drop blank),
+        carrying the collapse state across chunks."""
+        out: list[list[int]] = [[] for _ in range(self.batch)]
+        if log_probs.shape[1] == 0:
+            return out
+        ids = np.argmax(np.asarray(log_probs), axis=-1)
+        for bi in range(self.batch):
+            prev = self._decode_prev[bi]
+            for tok in ids[bi]:
+                if tok != prev and tok != 0:
+                    out[bi].append(int(tok))
+                prev = tok
+            self._decode_prev[bi] = prev
+        return out

@@ -1,0 +1,152 @@
+"""Causal-Conformer streaming: chunked == offline, chunk-boundary-invariant.
+
+The Conformer analog of the GRU streaming tests: the ``causal=True``
+config (banded left-context attention + causal depthwise convs) must be
+reproduced exactly by ``ConformerStreamer`` fed arbitrary chunk sizes,
+and the causal mode must stay a pure restriction (masking) of the model —
+same params, same code path, only the mask/padding differ.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_speech_decoder_tpu.models.conformer import (
+    ConformerConfig,
+    conformer_forward,
+    init_conformer_params,
+)
+from neural_speech_decoder_tpu.streaming.conformer import ConformerStreamer
+
+CFG = ConformerConfig(
+    n_channels=16,
+    n_days=2,
+    frontend_dim=24,
+    latent_dim=24,
+    autoencoder_hidden_dim=16,
+    num_layers=2,
+    num_heads=2,
+    ff_dim=32,
+    dropout=0.0,
+    temporal_kernel=8,
+    temporal_stride=4,
+    gaussian_smooth_width=2.0,
+    conv_kernel=5,
+    use_spec_augment=False,
+    drop_path_prob=0.0,
+    head_dropout=0.0,
+    causal=True,
+    attn_left_context=6,
+)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_conformer_params(jax.random.key(0), cfg=CFG)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 96, CFG.n_channels)).astype(np.float32)
+    return params, x
+
+
+def offline(params, x, cfg=CFG):
+    # x_lens=None: no key-padding mask. A live stream has no padding; with
+    # lengths given, the reference formula (T-k)//s marks the last realized
+    # frame as padding and masks it out of attention (the (T-32)//4 vs
+    # floor+1 quirk, SURVEY.md §7), which no streaming decoder would do.
+    logp, out_lens, _ = conformer_forward(
+        params, cfg, jnp.asarray(x), jnp.asarray([0, 0]),
+        None, train=False, key=None,
+    )
+    return np.asarray(logp)
+
+
+def stream_all(params, x, bins_per_feed, frames_per_chunk=1):
+    st = ConformerStreamer(
+        params, CFG, day_idx=0, batch=x.shape[0],
+        frames_per_chunk=frames_per_chunk,
+    )
+    outs = []
+    for i in range(0, x.shape[1], bins_per_feed):
+        outs.append(st.process(x[:, i: i + bins_per_feed]))
+    outs.append(st.flush())
+    return np.concatenate(outs, axis=1), st
+
+
+def test_streaming_matches_offline(setup):
+    params, x = setup
+    ref = offline(params, x)
+    got, _ = stream_all(params, x, bins_per_feed=16, frames_per_chunk=4)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("bins_per_feed", [3, 7, 32])
+def test_chunk_boundary_invariance(setup, bins_per_feed):
+    params, x = setup
+    ref = offline(params, x)
+    got, _ = stream_all(params, x, bins_per_feed, frames_per_chunk=2)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_causal_mode_is_prefix_stable(setup):
+    """In the causal config, logits for a prefix equal the corresponding
+    prefix of the full-utterance logits (no future leakage)."""
+    params, x = setup
+    full = offline(params, x)
+    half_bins = 48
+    half = offline(params, x[:, :half_bins])
+    # only frames whose full receptive field (incl. the smoother's 4-bin
+    # lookahead) lies inside the prefix are determined by it
+    k, s = CFG.temporal_kernel, CFG.temporal_stride
+    m = (half_bins - k - 4) // s + 1
+    np.testing.assert_allclose(
+        half[:, :m], full[:, :m], atol=2e-5, rtol=1e-5
+    )
+
+
+def test_noncausal_is_not_prefix_stable(setup):
+    """Sanity: the default (bidirectional) config DOES leak future context,
+    which is exactly why streaming requires causal=True."""
+    params, x = setup
+    cfg = dataclasses.replace(CFG, causal=False)
+    full = offline(params, x, cfg)
+    half = offline(params, x[:, :48], cfg)
+    assert not np.allclose(half, full[:, : half.shape[1]], atol=1e-4)
+
+
+def test_streamer_rejects_noncausal(setup):
+    params, _ = setup
+    with pytest.raises(ValueError, match="causal"):
+        ConformerStreamer(
+            params, dataclasses.replace(CFG, causal=False), day_idx=0
+        )
+
+
+def test_incremental_greedy_decode(setup):
+    params, x = setup
+    ref = offline(params, x)
+    got, st = stream_all(params, x, bins_per_feed=16, frames_per_chunk=2)
+    # offline greedy decode
+    ids = np.argmax(ref, axis=-1)
+    want = []
+    for b in range(ids.shape[0]):
+        prev, seq = -1, []
+        for tok in ids[b]:
+            if tok != prev and tok != 0:
+                seq.append(int(tok))
+            prev = tok
+        want.append(seq)
+    # streamed greedy decode (replay the chunks through decode_greedy)
+    st2 = ConformerStreamer(params, CFG, day_idx=0, batch=x.shape[0],
+                            frames_per_chunk=2)
+    streamed = [[] for _ in range(x.shape[0])]
+    for i in range(0, x.shape[1], 16):
+        out = st2.process(x[:, i: i + 16])
+        for b, seq in enumerate(st2.decode_greedy(out)):
+            streamed[b].extend(seq)
+    for b, seq in enumerate(st2.decode_greedy(st2.flush())):
+        streamed[b].extend(seq)
+    assert streamed == want
