@@ -119,6 +119,11 @@ class ConformerStreamer:
         )
         self._flushed = False
         self._decode_prev = np.full((b,), -1, np.int64)
+        # single-dispatch fast path (engaged once the stream is steady):
+        # (raw_ctx, bin_ctx, caches, offset) carried on device
+        self._fast_state = None
+        self._fused_cache: dict = {}
+        self._beam_state = None
 
     # -- jitted pieces ------------------------------------------------------
     def _build_prep(self):
@@ -149,10 +154,14 @@ class ConformerStreamer:
     def _step_for(self, n_f: int):
         fn = self._steps.get(n_f)
         if fn is None:
-            fn = self._steps[n_f] = self._build_step(n_f)
+            fn = self._steps[n_f] = jax.jit(
+                self._make_body(n_f), donate_argnums=(2,)
+            )
         return fn
 
-    def _build_step(self, n_f: int):
+    def _make_body(self, n_f: int):
+        """The un-jitted frames body: shared by the 2-dispatch drain path
+        (prep + step) and the fused single-dispatch fast path."""
         cfg = self.cfg
         k, s = cfg.temporal_kernel, cfg.temporal_stride
         nh = cfg.num_heads
@@ -168,7 +177,6 @@ class ConformerStreamer:
             h = _linear(p["lin1"], _layer_norm(p["ln"], z))
             return _linear(p["lin2"], jax.nn.silu(h))
 
-        @partial(jax.jit, donate_argnums=(2,))
         def step(params, bins, caches, offset):
             """bins: [B, k+(n_f-1)s, C] smoothed+affined bins covering n_f
             frames; caches: (kv_k, kv_v, conv_ctx); offset: frames already
@@ -264,20 +272,110 @@ class ConformerStreamer:
 
         return step
 
+    def _build_fused_step(self, w0: int):
+        """Single-dispatch steady-state step: affine+smooth the new bins,
+        run the frames body, and roll all carried state — ONE donated jit
+        call per chunk (one tunnel/PCIe round trip instead of two).
+        ``w0`` is the steady bin-residual width (compiled per width)."""
+        cfg = self.cfg
+        k, s = cfg.temporal_kernel, cfg.temporal_stride
+        n_f = self.frames_per_chunk
+        taps = self._taps
+        ks = int(np.asarray(taps).shape[0])
+        cdt = cfg.compute_dtype
+        body = self._make_body(n_f)
+
+        @partial(jax.jit, donate_argnums=(3,))
+        def fused(params, w_day, b_day, state, new):
+            raw_ctx, bin_ctx, caches, offset = state
+            window = jnp.concatenate([raw_ctx, new], axis=1)
+            x = window.astype(cdt)
+            y = (
+                jnp.einsum("btd,dk->btk", x, w_day.astype(cdt),
+                           preferred_element_type=jnp.float32)
+                + b_day.astype(jnp.float32)
+            ).astype(cdt)
+            c = y.shape[-1]
+            kernel = jnp.tile(taps[:, None, None], (1, 1, c)).astype(y.dtype)
+            sm = jax.lax.conv_general_dilated(
+                y, kernel, (1,), [(0, 0)],
+                dimension_numbers=("NTC", "TIO", "NTC"),
+                feature_group_count=c,
+            )
+            bins = jnp.concatenate([bin_ctx.astype(sm.dtype), sm], axis=1)
+            logp, new_caches = body(
+                params, bins[:, : k + (n_f - 1) * s], caches, offset
+            )
+            new_state = (
+                window[:, -(ks - 1):],
+                bins[:, n_f * s:],
+                new_caches,
+                offset + n_f,
+            )
+            return logp, new_state
+
+        del w0  # static via bin_ctx shape; kept for cache keying
+        return fused
+
+    def _maybe_promote(self) -> None:
+        ks = self.k_smooth
+        k, s = self.cfg.temporal_kernel, self.cfg.temporal_stride
+        n_f = self.frames_per_chunk
+        w0 = self._bins.shape[1]
+        if self._raw.shape[1] == ks - 1 and k - s <= w0 < k + (n_f - 1) * s:
+            self._fast_state = (
+                jnp.asarray(self._raw),
+                jnp.asarray(self._bins, self.cfg.compute_dtype),
+                self._caches,
+                jnp.asarray(self._offset, jnp.int32),
+            )
+
+    def _demote(self) -> None:
+        raw_ctx, bin_ctx, caches, offset = self._fast_state
+        self._raw = np.asarray(raw_ctx, np.float32)
+        self._bins = np.asarray(bin_ctx, np.float32)
+        self._caches = caches
+        self._offset = int(offset)
+        self._fast_state = None
+
     # -- public API --------------------------------------------------------
     def process(self, new_bins: np.ndarray) -> np.ndarray:
         """Feed ``[B, n, C]`` new raw bins; returns ``[B, m, K]`` log-probs
         for every encoder frame that became fully determined (m may be 0)."""
+        return np.asarray(self.process_async(new_bins))
+
+    def process_async(self, new_bins) -> jax.Array | np.ndarray:
+        """Like ``process`` but, on the steady-state fast path, returns the
+        device array without blocking — a chained consumer (e.g.
+        ``decode_beam``) can keep the work on device."""
         assert not self._flushed, "stream already flushed; call reset()"
+        fast_n = self.cfg.temporal_stride * self.frames_per_chunk
+        if self._fast_state is not None:
+            if new_bins.shape[1] == fast_n:
+                w0 = self._fast_state[1].shape[1]
+                fused = self._fused_cache.get(w0)
+                if fused is None:  # NOTE: setdefault would rebuild (and
+                    # recompile) the jit wrapper on every call
+                    fused = self._fused_cache[w0] = self._build_fused_step(w0)
+                logp, self._fast_state = fused(
+                    self._params, self._w_day, self._b_day,
+                    self._fast_state, jnp.asarray(new_bins, jnp.float32),
+                )
+                return logp
+            self._demote()
         self._raw = np.concatenate(
             [self._raw, np.asarray(new_bins, np.float32)], axis=1
         )
-        return self._drain()
+        out = self._drain()
+        self._maybe_promote()
+        return out
 
     def flush(self) -> np.ndarray:
         """Apply the offline right-padding semantics to the tail and emit
         the remaining frames."""
         assert not self._flushed
+        if self._fast_state is not None:
+            self._demote()
         self._flushed = True
         if self.lookahead > 0:
             pad = np.zeros(
@@ -316,6 +414,39 @@ class ConformerStreamer:
         if out:
             return np.concatenate(out, axis=1)
         return np.zeros((self.batch, 0, self.cfg.n_classes + 1), np.float32)
+
+    def decode_beam(
+        self,
+        log_probs,
+        *,
+        beam_width: int = 8,
+        top_k_tokens: int = 8,
+        max_len: int = 512,
+    ):
+        """Incrementally prefix-beam-decode newly emitted log-probs on
+        device, carrying the n-best ``BeamState`` across chunks (same
+        contract as ``GRUStreamer.decode_beam``; chains directly on the
+        device array from ``process_async``)."""
+        from ..decoding.ondevice_beam import (
+            beam_extend,
+            beam_finalize,
+            beam_init,
+        )
+
+        if self._beam_state is None:
+            self._beam_state = beam_init(self.batch, beam_width, max_len)
+        elif self._beam_state.prefixes.shape[1:] != (beam_width, max_len):
+            raise ValueError(
+                "decode_beam width/max_len changed mid-stream; call "
+                "reset() to start a new search"
+            )
+        if log_probs.shape[1]:
+            self._beam_state = beam_extend(
+                self._beam_state,
+                jnp.asarray(log_probs, jnp.float32),
+                top_k_tokens=top_k_tokens,
+            )
+        return beam_finalize(self._beam_state)
 
     def decode_greedy(self, log_probs: np.ndarray) -> list[list[int]]:
         """Incremental greedy CTC decode (argmax → collapse → drop blank),

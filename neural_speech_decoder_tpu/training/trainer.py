@@ -96,6 +96,9 @@ def build_model(args: dict, n_days: int) -> ModelAPI:
             drop_path_prob=args.get("drop_path_prob", 0.1),
             compute_dtype=jnp.dtype(args.get("compute_dtype", "float32")),
             fused_attention=args.get("fused_attention", True),
+            # streaming-compatible variant (banded attention + causal convs)
+            causal=args.get("causal", False),
+            attn_left_context=args.get("attn_left_context", 128),
             # Head-parallel TP needs the per-head-interleaved qkv layout
             # (parallel/shardings.py applies the matching weight relayout).
             qkv_interleaved=bool(

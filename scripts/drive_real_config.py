@@ -36,6 +36,10 @@ def main():
     ap.add_argument("--pool", type=int, default=12)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--model", default="gru", choices=("gru", "conformer"))
+    ap.add_argument("--causal", action="store_true",
+                    help="train the streaming-compatible causal Conformer "
+                         "(banded 128-frame-left-context attention + causal "
+                         "convs) to quantify the finite-context PER cost")
     args_cli = ap.parse_args()
 
     import jax
@@ -114,6 +118,8 @@ def main():
             "compute_dtype": "bfloat16",
             "watch_log_freq": 0,
         }
+        if args_cli.causal:
+            args.update(causal=True, attn_left_context=128)
     # Structured synthetic data at reference dims: learnable phone-locked
     # signal so the loss trajectory is meaningful, lengths 400-1200.
     raw = synthetic_dataset(

@@ -125,6 +125,64 @@ def test_streamer_rejects_noncausal(setup):
         )
 
 
+def test_fused_fast_path_matches_offline(setup):
+    """Steady-state single-dispatch path (state carried on device) must
+    produce the same stream as the 2-dispatch drain path / offline."""
+    params, x = setup
+    ref = offline(params, x)
+    fpc = 2
+    st = ConformerStreamer(params, CFG, day_idx=0, batch=x.shape[0],
+                           frames_per_chunk=fpc)
+    fast_n = CFG.temporal_stride * fpc
+    outs = []
+    engaged = False
+    for i in range(0, x.shape[1] - (x.shape[1] % fast_n), fast_n):
+        outs.append(np.asarray(st.process_async(x[:, i: i + fast_n])))
+        engaged = engaged or st._fast_state is not None
+    tail = x[:, x.shape[1] - (x.shape[1] % fast_n):]
+    if tail.shape[1]:
+        outs.append(st.process(tail))
+    outs.append(st.flush())
+    got = np.concatenate(outs, axis=1)
+    assert engaged, "fast path never engaged"
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+def test_streaming_beam_chains_on_device(setup):
+    """decode_beam carries BeamState across chunks and matches an offline
+    prefix beam search over the full streamed log-probs."""
+    from neural_speech_decoder_tpu.decoding.ondevice_beam import (
+        prefix_beam_search,
+    )
+
+    params, x = setup
+    st = ConformerStreamer(params, CFG, day_idx=0, batch=x.shape[0],
+                           frames_per_chunk=2)
+    all_logp = []
+    nbest = None
+    for i in range(0, x.shape[1], 8):
+        out = st.process_async(x[:, i: i + 8])
+        all_logp.append(np.asarray(out))
+        nbest = st.decode_beam(out, beam_width=4, max_len=64)
+    out = st.flush()
+    all_logp.append(np.asarray(out))
+    nbest = st.decode_beam(out, beam_width=4, max_len=64)
+    logp = np.concatenate(all_logp, axis=1)
+    t_frames = logp.shape[1]
+    ref = prefix_beam_search(
+        jnp.asarray(logp, jnp.float32),
+        jnp.full((x.shape[0],), t_frames, jnp.int32),
+        beam_width=4, top_k_tokens=8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(nbest[2]), np.asarray(ref[2]), atol=1e-4
+    )
+    np.testing.assert_array_equal(
+        np.asarray(nbest[0])[:, :, :t_frames],
+        np.asarray(ref[0])[:, :, :t_frames],
+    )
+
+
 def test_incremental_greedy_decode(setup):
     params, x = setup
     ref = offline(params, x)
