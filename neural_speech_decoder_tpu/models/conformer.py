@@ -262,7 +262,6 @@ def _use_fused_attention(cfg: ConformerConfig, t: int) -> bool:
     return (
         cfg.fused_attention
         and not cfg.qkv_interleaved  # TP path: GSPMD-partitioned einsums
-        and not cfg.causal  # banded mask not supported by the kernel
         and cfg.compute_dtype == jnp.bfloat16
         and dh % 128 == 0
         and vmem_est <= (12 << 20)
@@ -305,6 +304,7 @@ def _attention(p, cfg, x, pad_mask, out_lens, key, train):
             q, k, v, out_lens, key,
             dropout_rate=dropout if key is not None else 0.0,
             train=train and key is not None,
+            left_context=cfg.attn_left_context if cfg.causal else None,
         )
     else:
         scores = jnp.einsum(

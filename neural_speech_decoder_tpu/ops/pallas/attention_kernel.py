@@ -47,7 +47,8 @@ def _pad_t(t: int) -> int:
     return ((t + 127) // 128) * 128
 
 
-def mhsa_reference(q, k, v, lens, *, dropout_rate: float = 0.0, seed=None):
+def mhsa_reference(q, k, v, lens, *, dropout_rate: float = 0.0, seed=None,
+                   left_context: int | None = None):
     """Pure-JAX oracle: [B,H,T,dh] q/k/v, lens [B] (None = no mask).
 
     Matches ``models/conformer.py::_attention`` exactly (same mask constant,
@@ -61,7 +62,15 @@ def mhsa_reference(q, k, v, lens, *, dropout_rate: float = 0.0, seed=None):
     if lens is not None:
         pad = jnp.arange(t)[None, :] >= lens[:, None]  # [B, T] True = pad
         scores = jnp.where(pad[:, None, None, :], NEG, scores)
+    if left_context is not None:
+        qi = jnp.arange(t)[:, None]
+        kj = jnp.arange(t)[None, :]
+        band = (kj <= qi) & (qi - kj <= left_context)
+        scores = jnp.where(band[None, None, :, :], scores, NEG)
     probs = jax.nn.softmax(scores, axis=-1)
+    probs = jnp.where(
+        jnp.max(scores, axis=-1, keepdims=True) <= NEG, 0.0, probs
+    )
     if dropout_rate > 0.0:
         keep = jax.random.bernoulli(
             jax.random.key(seed if seed is not None else 0),
@@ -90,12 +99,14 @@ def _keep_mask(shape, rate: float, seed, pid):
     return keep_mask2d(seed, pid, shape, rate)
 
 
-def _probs_for(q, kt, length, t, scale):
+def _probs_for(q, kt, length, t, scale, left):
     """Masked softmax probabilities for one (batch, head) program. f32.
 
     Matmul runs in the input dtype with f32 accumulation and the 1/√dh
     scaling applied afterwards — the same op order as the naive einsum path,
-    so fp32 inputs give bit-identical scores.
+    so fp32 inputs give bit-identical scores. ``left`` (static) adds the
+    causal banded mask: query i sees keys in [i - left, i] (the streaming-
+    compatible Conformer's finite left context, conformer.py::_attention).
     """
     tp = q.shape[0]
     scores = jax.lax.dot_general(
@@ -106,15 +117,23 @@ def _probs_for(q, kt, length, t, scale):
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
     limit = jnp.minimum(length, t)
     scores = jnp.where(col >= limit, NEG, scores)
+    if left is not None:
+        row = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 0)
+        band = (col <= row) & (row - col <= left)
+        scores = jnp.where(band, scores, NEG)
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
-    return e / jnp.sum(e, axis=-1, keepdims=True)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    # Fully-masked rows (band + padding can mask every key for rows past
+    # the valid length) get zero probs instead of a shape-dependent
+    # uniform — deterministic, oracle-matched, and grad-clean.
+    return jnp.where(m <= NEG, 0.0, p)
 
 
 def _fwd_kernel(lens_ref, seed_ref, q_ref, kt_ref, v_ref, o_ref, *,
-                t: int, rate: float, scale: float):
+                t: int, rate: float, scale: float, left):
     pid = pl.program_id(0)
-    probs = _probs_for(q_ref[0], kt_ref[0], lens_ref[pid], t, scale)
+    probs = _probs_for(q_ref[0], kt_ref[0], lens_ref[pid], t, scale, left)
     if rate > 0.0:
         keep = _keep_mask(probs.shape, rate, seed_ref[0], pid)
         probs = jnp.where(keep, probs * (1.0 / (1.0 - rate)), 0.0)
@@ -126,10 +145,11 @@ def _fwd_kernel(lens_ref, seed_ref, q_ref, kt_ref, v_ref, o_ref, *,
 
 
 def _bwd_kernel(lens_ref, seed_ref, q_ref, kt_ref, v_ref, g_ref,
-                dq_ref, dk_ref, dv_ref, *, t: int, rate: float, scale: float):
+                dq_ref, dk_ref, dv_ref, *, t: int, rate: float,
+                scale: float, left):
     pid = pl.program_id(0)
     q, kt, v, g = q_ref[0], kt_ref[0], v_ref[0], g_ref[0]
-    probs = _probs_for(q, kt, lens_ref[pid], t, scale)  # f32 [Tp, Tp]
+    probs = _probs_for(q, kt, lens_ref[pid], t, scale, left)  # f32 [Tp, Tp]
     if rate > 0.0:
         keep = _keep_mask(probs.shape, rate, seed_ref[0], pid)  # = forward
         inv = 1.0 / (1.0 - rate)
@@ -199,17 +219,17 @@ def dropout_masks(bh: int, tp: int, seed, rate: float, *,
     return out.astype(bool)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fused(q, k, v, lens_bh, seed, rate, interpret):
-    out, _ = _fused_fwd(q, k, v, lens_bh, seed, rate, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused(q, k, v, lens_bh, seed, rate, interpret, left):
+    out, _ = _fused_fwd(q, k, v, lens_bh, seed, rate, interpret, left)
     return out
 
 
-def _call_fwd(q, kt, v, lens_bh, seed, rate, interpret):
+def _call_fwd(q, kt, v, lens_bh, seed, rate, interpret, left):
     bh, tp, dh = q.shape
     t = tp  # q/k/v already padded; real-length masking comes via lens_bh
     kernel = functools.partial(
-        _fwd_kernel, t=t, rate=rate, scale=1.0 / math.sqrt(dh)
+        _fwd_kernel, t=t, rate=rate, scale=1.0 / math.sqrt(dh), left=left
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -231,17 +251,17 @@ def _call_fwd(q, kt, v, lens_bh, seed, rate, interpret):
     )(lens_bh, seed, q, kt, v)
 
 
-def _fused_fwd(q, k, v, lens_bh, seed, rate, interpret):
+def _fused_fwd(q, k, v, lens_bh, seed, rate, interpret, left):
     kt = jnp.swapaxes(k, -1, -2)  # [BH, dh, Tp] — both matmul operands
-    out = _call_fwd(q, kt, v, lens_bh, seed, rate, interpret)
+    out = _call_fwd(q, kt, v, lens_bh, seed, rate, interpret, left)
     return out, (q, kt, v, lens_bh, seed)
 
 
-def _fused_bwd(rate, interpret, res, g):
+def _fused_bwd(rate, interpret, left, res, g):
     q, kt, v, lens_bh, seed = res
     bh, tp, dh = q.shape
     kernel = functools.partial(
-        _bwd_kernel, t=tp, rate=rate, scale=1.0 / math.sqrt(dh)
+        _bwd_kernel, t=tp, rate=rate, scale=1.0 / math.sqrt(dh), left=left
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -281,13 +301,15 @@ _fused.defvjp(_fused_fwd, _fused_bwd)
 
 def fused_mhsa(
     q, k, v, lens, key, *, dropout_rate: float = 0.0, train: bool = False,
-    interpret: bool = False,
+    interpret: bool = False, left_context: int | None = None,
 ):
     """Fused attention: q/k/v [B, H, T, dh], lens [B] or None.
 
     Returns [B, H, T, dh]. Pads T internally to a multiple of 128. Dropout
     (training only) runs inside the kernel with the TPU PRNG, seeded from
-    ``key``.
+    ``key``. ``left_context`` (static) applies the causal banded mask —
+    query i attends keys [i - left_context, i] — so the streaming-
+    compatible Conformer variant trains on the fused path too.
     """
     b, h, t, dh = q.shape
     tp = _pad_t(t)
@@ -305,5 +327,5 @@ def fused_mhsa(
         )
     else:
         seed = jnp.zeros((1,), jnp.int32)
-    out = _fused(qp, kp, vp, lens_bh, seed, rate, interpret)
+    out = _fused(qp, kp, vp, lens_bh, seed, rate, interpret, left_context)
     return out.reshape(b, h, tp, dh)[:, :, :t, :]

@@ -110,6 +110,32 @@ def test_preempted_summary_is_rankable():
     assert "preempted" in ssrc and ".get(" in ssrc
 
 
+def test_large_opt_auto_routing(tmp_path):
+    """The competition CLI routes >1B-param OPT checkpoints to the
+    streamed reference-scale engine and small/other models to jax_lm."""
+    import json
+
+    from neural_speech_decoder_tpu.decoding.eval_competition import (
+        _is_large_opt,
+    )
+
+    def cfg_dir(name, payload):
+        d = tmp_path / name
+        d.mkdir()
+        (d / "config.json").write_text(json.dumps(payload))
+        return str(d)
+
+    big = cfg_dir("opt67b", {"model_type": "opt", "hidden_size": 4096,
+                             "ffn_dim": 16384, "num_hidden_layers": 32})
+    small = cfg_dir("opt125m", {"model_type": "opt", "hidden_size": 768,
+                                "ffn_dim": 3072, "num_hidden_layers": 12})
+    gpt2 = cfg_dir("gpt2", {"model_type": "gpt2"})
+    assert _is_large_opt(big) is True
+    assert _is_large_opt(small) is False
+    assert _is_large_opt(gpt2) is False
+    assert _is_large_opt(str(tmp_path / "missing")) is False
+
+
 def test_jax_scorer_truncation_warns():
     """Over-long sentences warn instead of silently scoring a prefix."""
     from neural_speech_decoder_tpu.decoding import jax_lm
