@@ -36,6 +36,8 @@ def main():
     ap.add_argument("--pool", type=int, default=12)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--model", default="gru", choices=("gru", "conformer"))
+    ap.add_argument("--eval-batches", type=int, default=1_000_000,
+                    help="cap eval to N batches (tunnel-friendly drives)")
     ap.add_argument("--causal", action="store_true",
                     help="train the streaming-compatible causal Conformer "
                          "(banded 128-frame-left-context attention + causal "
@@ -152,7 +154,11 @@ def main():
         from neural_speech_decoder_tpu.data.batching import eval_batches
 
         dist = tot = 0
+        n_done = 0
         for b in eval_batches(test_ds, args_cli.batch, t_max, u_max):
+            if n_done >= args_cli.eval_batches:
+                break
+            n_done += 1
             arrays = tuple(jax.device_put(a)
                            for a in (b.x, b.y, b.x_lens, b.y_lens, b.days))
             per_seq, tokens, dec_lens = eval_step(state["params"], *arrays)
@@ -165,8 +171,10 @@ def main():
         return dist / max(tot, 1)
 
     base_key = jax.random.key(0, impl="rbg")
+    print("compiling + running pre-train eval...", file=sys.stderr,
+          flush=True)
     per_before = float(run_eval())
-    print(f"PER before: {per_before:.4f}", file=sys.stderr)
+    print(f"PER before: {per_before:.4f}", file=sys.stderr, flush=True)
 
     losses = []
     start = time.perf_counter()

@@ -243,6 +243,19 @@ def test_tensor_parallel_int8(tiny_opt_dir):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 
 
+def test_shardings_reject_indivisible_heads(tiny_opt_dir):
+    """Head-parallel TP requires n_head % mesh['model'] == 0."""
+    from jax.sharding import Mesh
+
+    params, spec, _ = jax_lm.load_causal_lm(tiny_opt_dir)
+    eng_params, eng_spec = llm_engine.from_jax_lm(params, spec)
+    assert eng_spec.n_head == 2
+    devices = np.array(jax.devices()[:3]).reshape(1, 3)
+    mesh = Mesh(devices, ("data", "model"))
+    with pytest.raises(ValueError, match="divisible"):
+        llm_engine.llm_shardings(eng_spec, mesh)
+
+
 def test_opt_spec_reference_scale():
     """The 6.7b row matches the published OPT dims the reference loads."""
     spec = llm_engine.opt_spec("6.7b")
