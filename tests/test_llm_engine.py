@@ -124,6 +124,53 @@ def test_stream_load_torch_bin(tiny_opt_bin_dir):
     )
 
 
+def test_stream_load_sharded_checkpoint(tmp_path):
+    """Multi-file (index.json) checkpoints load identically — real
+    6.7B-class checkpoints ship sharded."""
+    d = tmp_path / "opt_sharded"
+    d.mkdir()
+    path = _make_opt(d)
+    ref, _ = llm_engine.stream_load_hf(path, "float32")
+    # re-save sharded with a tiny max shard size
+    import torch
+    from transformers import AutoModelForCausalLM
+
+    model = AutoModelForCausalLM.from_pretrained(path)
+    d2 = tmp_path / "opt_sharded2"
+    model.save_pretrained(str(d2), max_shard_size="50KB",
+                          safe_serialization=True)
+    import os
+
+    assert os.path.exists(d2 / "model.safetensors.index.json")
+    got, _ = llm_engine.stream_load_hf(str(d2), "float32")
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree.flatten_with_path(ref)[0], key=lambda kv: str(kv[0])),
+        sorted(jax.tree.flatten_with_path(got)[0], key=lambda kv: str(kv[0])),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(ka))
+
+
+def test_engine_scorer_with_mesh(tiny_opt_dir):
+    """engine_scorer composes with a TP mesh (sharded params, same
+    scores)."""
+    from jax.sharding import Mesh
+
+    ref = llm_engine.engine_scorer(
+        tiny_opt_dir, compute_dtype="float32", param_dtype="float32"
+    )
+    devices = np.array(jax.devices()[:2]).reshape(1, 2)
+    mesh = Mesh(devices, ("data", "model"))
+    sharded = llm_engine.engine_scorer(
+        tiny_opt_dir, compute_dtype="float32", param_dtype="float32",
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        sharded(SENTENCES), ref(SENTENCES), rtol=1e-5, atol=1e-4
+    )
+
+
 def test_engine_forward_matches_jax_lm(tiny_opt_dir):
     """Head-major layout is a pure re-layout: identical fp32 logprobs."""
     params, spec, tok = jax_lm.load_causal_lm(tiny_opt_dir)
