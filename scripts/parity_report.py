@@ -262,11 +262,23 @@ def main(argv=None) -> dict:
         )
         llm_scorer = None
         if args.llm:
-            from neural_speech_decoder_tpu.decoding.jax_lm import (
-                jax_causal_scorer,
+            from neural_speech_decoder_tpu.decoding.eval_competition import (
+                _is_large_opt,
             )
 
-            llm_scorer = jax_causal_scorer(args.llm)
+            if _is_large_opt(args.llm):
+                # reference-scale: streamed engine (never fp32-materialized)
+                from neural_speech_decoder_tpu.decoding.llm_engine import (
+                    engine_scorer,
+                )
+
+                llm_scorer = engine_scorer(args.llm)
+            else:
+                from neural_speech_decoder_tpu.decoding.jax_lm import (
+                    jax_causal_scorer,
+                )
+
+                llm_scorer = jax_causal_scorer(args.llm)
         result = run_pipeline(
             outputs,
             lexicon_path=args.lexicon,
