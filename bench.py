@@ -138,6 +138,18 @@ CONFORMER_ARGS = {
 
 
 def main() -> None:
+    # GRU (the headline) runs and prints FIRST so a tunnel stall during
+    # the Conformer leg still leaves a parseable metric as the last JSON
+    # line; when both succeed, the final combined line repeats the GRU
+    # headline with the Conformer numbers embedded.
+    gru_seq_s = bench_family(GRU_ARGS)
+    gru_line = {
+        "metric": "train_seq_per_s",
+        "value": round(gru_seq_s, 2),
+        "unit": "seq/s",
+        "vs_baseline": round(gru_seq_s / A100_BASELINE_SEQ_PER_S, 3),
+    }
+    print(json.dumps(gru_line), flush=True)
     conf_seq_s = bench_family(CONFORMER_ARGS)
     print(
         json.dumps(
@@ -149,16 +161,13 @@ def main() -> None:
                     conf_seq_s / A100_CONFORMER_BASELINE_SEQ_PER_S, 3
                 ),
             }
-        )
+        ),
+        flush=True,
     )
-    gru_seq_s = bench_family(GRU_ARGS)
     print(
         json.dumps(
             {
-                "metric": "train_seq_per_s",
-                "value": round(gru_seq_s, 2),
-                "unit": "seq/s",
-                "vs_baseline": round(gru_seq_s / A100_BASELINE_SEQ_PER_S, 3),
+                **gru_line,
                 "conformer_seq_per_s": round(conf_seq_s, 2),
                 "conformer_vs_baseline": round(
                     conf_seq_s / A100_CONFORMER_BASELINE_SEQ_PER_S, 3
