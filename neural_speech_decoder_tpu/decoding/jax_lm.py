@@ -250,6 +250,60 @@ def sentence_logprobs(params, spec: LMSpec, ids, mask, compute_dtype=jnp.float32
     return jnp.sum(tok_lp * mask[:, 1:], axis=-1)
 
 
+def make_batched_scorer(
+    tok,
+    n_positions: int,
+    score_batch,
+    batch_size: int = 16,
+    length_multiple: int = 16,
+):
+    """Shared host loop for sentence scorers: tokenize, pad into static
+    ``(batch_size, T_bucket)`` shapes (``T`` rounded up to
+    ``length_multiple``), truncate-with-warning past the position table,
+    call ``score_batch(ids, mask) -> [batch_size] logprobs``.
+
+    Used by both ``jax_causal_scorer`` (small checkpoints) and
+    ``llm_engine.engine_scorer`` (reference scale) — one copy of the
+    bucketing/truncation semantics. ``score_batch`` is typically a jitted
+    function; jit caches per input shape, so each bucket compiles once.
+    """
+
+    def score(sentences: Sequence[str]) -> list[float]:
+        out: list[float] = []
+        for i in range(0, len(sentences), batch_size):
+            chunk = [s if s else " " for s in sentences[i : i + batch_size]]
+            enc = tok(chunk, padding=True)
+            ids = np.asarray(enc["input_ids"], np.int32)
+            mask = np.asarray(enc["attention_mask"], np.int32)
+            t = ids.shape[1]
+            t_pad = min(
+                -(-max(t, 2) // length_multiple) * length_multiple,
+                n_positions,
+            )
+            if t > t_pad:  # sentence longer than the position table
+                # The torch hf_causal_scorer (pinned as interchangeable)
+                # would fail loudly here; truncating silently would return
+                # prefix-only logprobs. Warn so the divergence is visible.
+                import warnings
+
+                warnings.warn(
+                    f"sentence batch length {t} exceeds the checkpoint's "
+                    f"position table ({n_positions}); scoring only "
+                    f"the first {t_pad} tokens of over-long sentences",
+                    stacklevel=2,
+                )
+                ids, mask = ids[:, :t_pad], mask[:, :t_pad]
+            n = ids.shape[0]
+            ids = np.pad(ids, ((0, batch_size - n), (0, t_pad - ids.shape[1])))
+            mask = np.pad(
+                mask, ((0, batch_size - n), (0, t_pad - mask.shape[1]))
+            )
+            out.extend(np.asarray(score_batch(ids, mask))[:n].tolist())
+        return out
+
+    return score
+
+
 def jax_causal_scorer(
     model_path: str,
     batch_size: int = 16,
@@ -269,51 +323,15 @@ def jax_causal_scorer(
     params, spec, tok = load_causal_lm(model_path)
     params = jax.device_put(jax.tree.map(jnp.asarray, params))
     cdtype = jnp.dtype(compute_dtype)
-    jitted: dict[int, callable] = {}
-
-    def _fn_for(t_bucket: int):
-        fn = jitted.get(t_bucket)
-        if fn is None:
-            fn = jax.jit(
-                lambda p, ids, mask: sentence_logprobs(
-                    p, spec, ids, mask, compute_dtype=cdtype
-                )
-            )
-            jitted[t_bucket] = fn
-        return fn
-
-    def score(sentences: Sequence[str]) -> list[float]:
-        out: list[float] = []
-        for i in range(0, len(sentences), batch_size):
-            chunk = [s if s else " " for s in sentences[i : i + batch_size]]
-            enc = tok(chunk, padding=True)
-            ids = np.asarray(enc["input_ids"], np.int32)
-            mask = np.asarray(enc["attention_mask"], np.int32)
-            t = ids.shape[1]
-            t_pad = min(
-                -(-max(t, 2) // length_multiple) * length_multiple,
-                spec.n_positions,
-            )
-            if t > t_pad:  # sentence longer than the position table
-                # The torch hf_causal_scorer (pinned as interchangeable)
-                # would fail loudly here; truncating silently would return
-                # prefix-only logprobs. Warn so the divergence is visible.
-                import warnings
-
-                warnings.warn(
-                    f"sentence batch length {t} exceeds the checkpoint's "
-                    f"position table ({spec.n_positions}); scoring only "
-                    f"the first {t_pad} tokens of over-long sentences",
-                    stacklevel=2,
-                )
-                ids, mask = ids[:, :t_pad], mask[:, :t_pad]
-            n = ids.shape[0]
-            ids = np.pad(ids, ((0, batch_size - n), (0, t_pad - ids.shape[1])))
-            mask = np.pad(
-                mask, ((0, batch_size - n), (0, t_pad - mask.shape[1]))
-            )
-            lp = _fn_for(t_pad)(params, ids, mask)
-            out.extend(np.asarray(lp)[:n].tolist())
-        return out
-
-    return score
+    fn = jax.jit(
+        lambda p, ids, mask: sentence_logprobs(
+            p, spec, ids, mask, compute_dtype=cdtype
+        )
+    )
+    return make_batched_scorer(
+        tok,
+        spec.n_positions,
+        lambda ids, mask: fn(params, ids, mask),
+        batch_size,
+        length_multiple,
+    )

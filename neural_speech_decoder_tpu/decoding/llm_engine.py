@@ -248,21 +248,25 @@ def stream_load_hf(path: str, param_dtype: str = "bfloat16"):
         "fc1.weight": "wfc", "fc1.bias": "bfc",
         "fc2.weight": "wproj", "fc2.bias": "bproj",
     }
+    n_written = 0
     for file in _weight_files(path):
         for name, arr in _iter_tensors(file):
-            name = name.removeprefix("decoder.") if name.startswith(
-                "decoder."
-            ) else name
-            if not name.startswith("model.") and name != "lm_head.weight":
-                name = "model." + name
+            # Normalize checkpoint-prefix variants to OPTForCausalLM's
+            # "model.decoder.*": OPTModel saves "decoder.*", a bare
+            # OPTDecoder saves "layers.*"/"embed_tokens.*".
             if name == "lm_head.weight":  # tied to wte
                 continue
+            if name.startswith("decoder."):
+                name = "model." + name
+            elif not name.startswith("model."):
+                name = "model.decoder." + name
             if name in top_map:
                 dst = top_map[name]
                 if dst in ("win", "wout"):
                     params[dst][...] = arr.T.astype(dtype)
                 else:
                     params[dst][...] = arr.astype(dtype)
+                n_written += 1
                 continue
             if not name.startswith("model.decoder.layers."):
                 continue
@@ -281,6 +285,16 @@ def stream_load_hf(path: str, param_dtype: str = "bfloat16"):
                 a = arr.astype(dtype)
                 # nn.Linear stores [out, in]; engine matmuls are x @ W
                 blocks[dst][li] = a.T if dst in ("wo", "wfc", "wproj") else a
+            n_written += 1
+    # Completeness check: params start as np.empty — a naming mismatch
+    # that silently skipped tensors would otherwise score with
+    # uninitialized memory.
+    expected = spec.n_layer * 16 + 4 + (2 if spec.word_dim else 0)
+    if n_written != expected:
+        raise ValueError(
+            f"checkpoint at {path} filled {n_written}/{expected} engine "
+            f"tensors — unrecognized parameter naming scheme"
+        )
     return params, spec
 
 
@@ -649,6 +663,8 @@ def engine_scorer(
     """
     from transformers import AutoTokenizer
 
+    from .jax_lm import make_batched_scorer
+
     tok = AutoTokenizer.from_pretrained(model_path)
     if tok.pad_token is None:
         tok.pad_token = tok.eos_token
@@ -660,47 +676,15 @@ def engine_scorer(
     else:
         params = jax.device_put(jax.tree.map(jnp.asarray, params))
     cdt = jnp.dtype(compute_dtype)
-    jitted: dict[int, Any] = {}
-
-    def _fn_for(t_bucket: int):
-        fn = jitted.get(t_bucket)
-        if fn is None:
-            fn = jax.jit(
-                lambda p, ids, mask: engine_sentence_logprobs(
-                    p, spec, ids, mask, compute_dtype=cdt
-                )
-            )
-            jitted[t_bucket] = fn
-        return fn
-
-    def score(sentences: Sequence[str]) -> list[float]:
-        out: list[float] = []
-        for i in range(0, len(sentences), batch_size):
-            chunk = [s if s else " " for s in sentences[i: i + batch_size]]
-            enc = tok(chunk, padding=True)
-            ids = np.asarray(enc["input_ids"], np.int32)
-            mask = np.asarray(enc["attention_mask"], np.int32)
-            t = ids.shape[1]
-            t_pad = min(
-                -(-max(t, 2) // length_multiple) * length_multiple,
-                spec.n_positions,
-            )
-            if t > t_pad:
-                import warnings
-
-                warnings.warn(
-                    f"sentence batch length {t} exceeds the position "
-                    f"table ({spec.n_positions}); truncating",
-                    stacklevel=2,
-                )
-                ids, mask = ids[:, :t_pad], mask[:, :t_pad]
-            n = ids.shape[0]
-            ids = np.pad(ids, ((0, batch_size - n), (0, t_pad - ids.shape[1])))
-            mask = np.pad(
-                mask, ((0, batch_size - n), (0, t_pad - mask.shape[1]))
-            )
-            lp = _fn_for(t_pad)(params, ids, mask)
-            out.extend(np.asarray(lp)[:n].tolist())
-        return out
-
-    return score
+    fn = jax.jit(
+        lambda p, ids, mask: engine_sentence_logprobs(
+            p, spec, ids, mask, compute_dtype=cdt
+        )
+    )
+    return make_batched_scorer(
+        tok,
+        spec.n_positions,
+        lambda ids, mask: fn(params, ids, mask),
+        batch_size,
+        length_multiple,
+    )

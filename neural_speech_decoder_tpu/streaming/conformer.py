@@ -96,7 +96,7 @@ class ConformerStreamer:
         self._pe = sinusoidal_pos_encoding(
             cfg.max_pos_len, cfg.latent_dim, cfg.compute_dtype
         )
-        self._prep = self._build_prep()
+        self._affine, self._prep = self._build_prep()
         self._steps: dict[int, callable] = {}
         self.reset()
 
@@ -109,6 +109,11 @@ class ConformerStreamer:
         lc = cfg.attn_left_context
         kc = cfg.conv_kernel
         cdt = cfg.compute_dtype
+        # _raw holds DAY-AFFINED bins: the offline forward zero-pads the
+        # smoother AFTER the day affine (conformer_frontend), so the
+        # streamer's left-seed / flush padding must be zeros in the
+        # affined domain — raw-domain zeros would smooth in affine(0) =
+        # the day bias at utterance edges (nonzero for trained models).
         self._raw = np.zeros((b, self.pad_left, c), np.float32)
         self._bins = np.zeros((b, 0, c), np.float32)
         self._offset = 0  # frames emitted so far
@@ -127,20 +132,23 @@ class ConformerStreamer:
 
     # -- jitted pieces ------------------------------------------------------
     def _build_prep(self):
-        """[B, n + k_smooth - 1, C] raw bins -> [B, n, C] day-affined +
-        smoothed bins (VALID conv; model order: affine THEN smooth —
-        conformer_forward applies day_affine before the frontend)."""
+        """Two jitted stages mirroring the offline op order (affine, THEN
+        zero-padded smooth): ``affine`` maps incoming real raw bins into
+        the day-calibrated domain; ``prep`` VALID-smooths an affined
+        window. The smooth body is shared with the fused fast path via
+        ``self._smooth_body``."""
         taps = self._taps
         cdt = self.cfg.compute_dtype
 
-        @jax.jit
-        def prep(raw_window, w_day, b_day):
-            x = raw_window.astype(cdt)
-            y = (
+        def affine_body(raw, w_day, b_day):
+            x = raw.astype(cdt)
+            return (
                 jnp.einsum("btd,dk->btk", x, w_day.astype(cdt),
                            preferred_element_type=jnp.float32)
                 + b_day.astype(jnp.float32)
             ).astype(cdt)
+
+        def smooth_body(y):
             c = y.shape[-1]
             kernel = jnp.tile(taps[:, None, None], (1, 1, c)).astype(y.dtype)
             return jax.lax.conv_general_dilated(
@@ -149,7 +157,18 @@ class ConformerStreamer:
                 feature_group_count=c,
             )
 
-        return prep
+        self._affine_body = affine_body
+        self._smooth_body = smooth_body
+
+        @jax.jit
+        def affine(raw, w_day, b_day):
+            return affine_body(raw, w_day, b_day)
+
+        @jax.jit
+        def prep(affined_window):
+            return smooth_body(affined_window.astype(cdt))
+
+        return affine, prep
 
     def _step_for(self, n_f: int):
         fn = self._steps.get(n_f)
@@ -257,7 +276,7 @@ class ConformerStreamer:
                 hc = _layer_norm(bp["conv"]["ln_conv"], hc)
                 hc = _linear(bp["conv"]["pw2"], jax.nn.silu(hc))
                 z = z + hc
-                new_cc.append(full[:, -(kc - 1):])
+                new_cc.append(full[:, full.shape[1] - (kc - 1):])
                 z = z + 0.5 * ff(bp["ff2"], z)
                 z = _layer_norm(bp["ln_final"], z)
 
@@ -285,29 +304,25 @@ class ConformerStreamer:
         cdt = cfg.compute_dtype
         body = self._make_body(n_f)
 
+        affine_body = self._affine_body
+        smooth_body = self._smooth_body
+
         @partial(jax.jit, donate_argnums=(3,))
         def fused(params, w_day, b_day, state, new):
+            # raw_ctx is already day-affined (offline op order: affine,
+            # then zero-padded smooth); only the NEW real bins get affined.
             raw_ctx, bin_ctx, caches, offset = state
-            window = jnp.concatenate([raw_ctx, new], axis=1)
-            x = window.astype(cdt)
-            y = (
-                jnp.einsum("btd,dk->btk", x, w_day.astype(cdt),
-                           preferred_element_type=jnp.float32)
-                + b_day.astype(jnp.float32)
-            ).astype(cdt)
-            c = y.shape[-1]
-            kernel = jnp.tile(taps[:, None, None], (1, 1, c)).astype(y.dtype)
-            sm = jax.lax.conv_general_dilated(
-                y, kernel, (1,), [(0, 0)],
-                dimension_numbers=("NTC", "TIO", "NTC"),
-                feature_group_count=c,
+            window = jnp.concatenate(
+                [raw_ctx.astype(cdt), affine_body(new, w_day, b_day)],
+                axis=1,
             )
+            sm = smooth_body(window)
             bins = jnp.concatenate([bin_ctx.astype(sm.dtype), sm], axis=1)
             logp, new_caches = body(
                 params, bins[:, : k + (n_f - 1) * s], caches, offset
             )
             new_state = (
-                window[:, -(ks - 1):],
+                window[:, window.shape[1] - (ks - 1):],
                 bins[:, n_f * s:],
                 new_caches,
                 offset + n_f,
@@ -363,9 +378,13 @@ class ConformerStreamer:
                 )
                 return logp
             self._demote()
-        self._raw = np.concatenate(
-            [self._raw, np.asarray(new_bins, np.float32)], axis=1
+        affined = np.asarray(
+            self._affine(
+                jnp.asarray(new_bins, jnp.float32), self._w_day, self._b_day
+            ),
+            np.float32,
         )
+        self._raw = np.concatenate([self._raw, affined], axis=1)
         out = self._drain()
         self._maybe_promote()
         return out
@@ -389,7 +408,7 @@ class ConformerStreamer:
         n_smoothable = self._raw.shape[1] - (ks - 1)
         if n_smoothable > 0:
             window = jnp.asarray(self._raw[:, : n_smoothable + ks - 1])
-            sm = np.asarray(self._prep(window, self._w_day, self._b_day))
+            sm = np.asarray(self._prep(window), np.float32)
             self._bins = np.concatenate([self._bins, sm], axis=1)
             self._raw = self._raw[:, n_smoothable:]
         k, s = self.cfg.temporal_kernel, self.cfg.temporal_stride

@@ -529,7 +529,29 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
     # Resume: full train state + sampler RNG + metric history (the reference
     # has no resume path at all — SURVEY.md §5 checkpoint/resume).
     if args.get("resume") and ckpt.exists("lastState"):
-        state = jax.device_put(ckpt.restore("lastState", state), r_shard)
+        if n_model > 1:
+            # Preserve the TP layout on resume: a blanket replicated
+            # device_put would silently drop the Megatron shardings
+            # installed above (weights replicated -> HBM blow-up and no
+            # TP compute). Re-install per-leaf shardings from the live
+            # (already-sharded) state; leaves without a mesh sharding
+            # (e.g. the optimizer step counter, an uncommitted constant
+            # in the fresh path that the checkpoint round-trip would pin
+            # to one device) go to the mesh-replicated sharding.
+            from jax.sharding import NamedSharding
+
+            restored = ckpt.restore("lastState", state)
+            state = jax.tree.map(
+                lambda leaf, like: jax.device_put(
+                    leaf,
+                    like.sharding
+                    if isinstance(like.sharding, NamedSharding)
+                    else r_shard,
+                ),
+                restored, state,
+            )
+        else:
+            state = jax.device_put(ckpt.restore("lastState", state), r_shard)
         side = ckpt.load_sidecar()
         start_step = int(side["step"])
         test_loss = list(side["testLoss"])

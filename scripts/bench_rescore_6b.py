@@ -66,8 +66,15 @@ def main():
     params = llm_engine.synth_params_on_device(
         spec, seed=0, dtype=jnp.bfloat16, quantize=(args.dtype == "int8")
     )
-    # force materialization
-    jax.tree.map(lambda x: x.block_until_ready(), params)
+    # Force materialization via a host readback: block_until_ready is a
+    # NO-OP through the remote axon tunnel, so sum one element per leaf
+    # (device execution is in-order; reading later results fences earlier
+    # work) and transfer the scalar.
+    probe = sum(
+        leaf.ravel()[0].astype(jnp.float32)
+        for leaf in jax.tree.leaves(params)
+    )
+    float(probe)
     print(f"params synthesized on device in {time.time()-t0:.1f}s",
           file=sys.stderr)
 

@@ -156,9 +156,6 @@ def main(argv=None) -> dict:
     ap.add_argument("--batch-size", type=int, default=8)
     args = ap.parse_args(argv)
 
-    import jax
-
-    # CPU-safe by default off-TPU; harmless on TPU hosts
     report: dict = {}
 
     # ---- 1. dataset -------------------------------------------------------

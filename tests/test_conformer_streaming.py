@@ -125,6 +125,22 @@ def test_streamer_rejects_noncausal(setup):
         )
 
 
+def test_streaming_matches_offline_nonzero_day_bias(setup):
+    """Edge-padding domain: the offline forward zero-pads the smoother
+    AFTER the day affine. With a nonzero day bias (any trained model) the
+    streamer must pad in the affined domain too, or the first/last frames
+    diverge (caught by this test; init bias is zero so the other tests
+    can't see it)."""
+    params, x = setup
+    params = jax.tree.map(lambda a: a, params)
+    params["day"] = dict(params["day"])
+    params["day"]["bias"] = params["day"]["bias"] + 0.7
+    params["day"]["weight"] = params["day"]["weight"] * 1.1
+    ref = offline(params, x)
+    got, _ = stream_all(params, x, bins_per_feed=16, frames_per_chunk=2)
+    np.testing.assert_allclose(got, ref, atol=3e-5, rtol=1e-5)
+
+
 def test_fused_fast_path_matches_offline(setup):
     """Steady-state single-dispatch path (state carried on device) must
     produce the same stream as the 2-dispatch drain path / offline."""

@@ -152,6 +152,44 @@ def test_stream_load_sharded_checkpoint(tmp_path):
                                       err_msg=str(ka))
 
 
+def test_stream_load_decoder_prefix_variant(tmp_path, tiny_opt_dir):
+    """'decoder.*'-prefixed checkpoints (OPTModel saves) load identically;
+    unrecognized naming raises instead of returning np.empty garbage."""
+    import shutil
+
+    from safetensors import safe_open
+    from safetensors.numpy import save_file
+
+    ref, _ = llm_engine.stream_load_hf(tiny_opt_dir, "float32")
+    d = tmp_path / "opt_decoder_prefix"
+    d.mkdir()
+    shutil.copy(f"{tiny_opt_dir}/config.json", d / "config.json")
+    tensors = {}
+    with safe_open(f"{tiny_opt_dir}/model.safetensors", framework="np") as f:
+        for name in f.keys():
+            new = name.removeprefix("model.")  # model.decoder.* -> decoder.*
+            tensors[new] = f.get_tensor(name)
+    save_file(tensors, str(d / "model.safetensors"))
+    got, _ = llm_engine.stream_load_hf(str(d), "float32")
+    np.testing.assert_array_equal(
+        np.asarray(got["blocks"]["wqkv"], np.float32),
+        np.asarray(ref["blocks"]["wqkv"], np.float32),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["wte"], np.float32),
+        np.asarray(ref["wte"], np.float32),
+    )
+
+    # bogus naming -> loud failure (completeness check)
+    d2 = tmp_path / "opt_bogus"
+    d2.mkdir()
+    shutil.copy(f"{tiny_opt_dir}/config.json", d2 / "config.json")
+    save_file({"something.weird": np.zeros((2, 2), np.float32)},
+              str(d2 / "model.safetensors"))
+    with pytest.raises(ValueError, match="filled"):
+        llm_engine.stream_load_hf(str(d2), "float32")
+
+
 def test_engine_scorer_with_mesh(tiny_opt_dir):
     """engine_scorer composes with a TP mesh (sharded params, same
     scores)."""
