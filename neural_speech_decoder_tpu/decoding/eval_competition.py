@@ -62,6 +62,7 @@ def collect_model_outputs(model_path, dataset_path=None, dataset=None,
     n_train_days = len(raw["train"])
     if (
         partition == "competition"
+        and len(day_list) <= len(COMPETITION_DAY_IDXS)
         and max(COMPETITION_DAY_IDXS[: len(day_list)], default=0)
         < n_train_days
     ):

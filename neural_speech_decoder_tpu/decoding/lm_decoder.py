@@ -416,6 +416,8 @@ class LMStream:
 
     def feed(self, log_probs, blank_penalty: float = 0.0) -> None:
         """``log_probs``: [T_chunk, K] per-frame log-probs (blank at 0)."""
+        if not self._sess:
+            raise RuntimeError("stream is closed")
         lp = np.ascontiguousarray(log_probs, np.float32)
         t, k = lp.shape
         if t == 0:
@@ -436,6 +438,8 @@ class LMStream:
         states at a word boundary (or with a completable word), so peeks
         taken while every surviving beam is inside a word return ``[]``.
         """
+        if not self._sess:
+            raise RuntimeError("stream is closed")
         stride = max(self._frames, 1)
         return _run_native_nbest(
             self._decoder.nbest,

@@ -127,8 +127,17 @@ def _beam_step(state, frame, top_k_tokens: int, blank_id: int):
     wrote = new_prefixes.at[
         jnp.arange(w), jnp.minimum(new_lens, l_cap - 1)
     ].set(token)
-    new_prefixes = jnp.where(is_stay[:, None], new_prefixes, wrote)
-    new_lens = jnp.where(is_stay, new_lens, new_lens + 1)
+    # At prefix capacity (len == max_len) the buffer cannot represent a
+    # longer sequence: keep the stored prefix unchanged and clamp the
+    # length, so returned lens never exceed max_len and the last slot
+    # does not churn (over-cap beams carry a truncated tail).
+    at_cap = new_lens >= l_cap
+    new_prefixes = jnp.where(
+        (is_stay | at_cap)[:, None], new_prefixes, wrote
+    )
+    new_lens = jnp.where(
+        is_stay, new_lens, jnp.minimum(new_lens + 1, l_cap)
+    )
     new_last = jnp.where(is_stay, new_last, token)
     new_pb = jnp.where(is_stay, stay_pb[parent], NEG_INF)
     new_pnb = jnp.where(is_stay, stay_pnb[parent], sel_scores)

@@ -38,6 +38,8 @@ def hf_causal_scorer(model_path: str, device: str = "cpu", batch_size: int = 8):
     from transformers import AutoModelForCausalLM, AutoTokenizer
 
     tok = AutoTokenizer.from_pretrained(model_path)
+    if tok.pad_token is None:  # GPT-2-family ships without one; padding
+        tok.pad_token = tok.eos_token  # batches would raise otherwise
     model = AutoModelForCausalLM.from_pretrained(model_path).to(device).eval()
 
     def score(sentences: Sequence[str]) -> list[float]:

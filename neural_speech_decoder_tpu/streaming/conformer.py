@@ -79,6 +79,17 @@ class ConformerStreamer:
             conformer_kernel_size(cfg.gaussian_smooth_width)
             if cfg.gaussian_smooth_width > 0 else 1
         )
+        if self.k_smooth % 2 == 0:
+            # offline conformer_frontend pads (ks//2, ks//2) = ks total for
+            # even kernels and emits T+1 smoothed bins — a one-bin-per-bin
+            # streamer cannot reproduce that; fail loudly rather than
+            # silently diverge (sigma values where int(4*sigma) is odd).
+            raise ValueError(
+                f"gaussian_smooth_width={cfg.gaussian_smooth_width} gives "
+                f"an even smoothing kernel ({self.k_smooth} taps), whose "
+                f"offline padding emits T+1 bins — unsupported for "
+                f"streaming; pick a width with odd int(4*width)+1"
+            )
         pad_l, pad_r = self.k_smooth // 2, self.k_smooth - 1 - self.k_smooth // 2
         self.pad_left, self.lookahead = pad_l, pad_r
         taps = (
@@ -367,6 +378,7 @@ class ConformerStreamer:
         fast_n = self.cfg.temporal_stride * self.frames_per_chunk
         if self._fast_state is not None:
             if new_bins.shape[1] == fast_n:
+                self._check_pe_budget(self.frames_per_chunk)
                 w0 = self._fast_state[1].shape[1]
                 fused = self._fused_cache.get(w0)
                 if fused is None:  # NOTE: setdefault would rebuild (and
@@ -376,6 +388,7 @@ class ConformerStreamer:
                     self._params, self._w_day, self._b_day,
                     self._fast_state, jnp.asarray(new_bins, jnp.float32),
                 )
+                self._offset += self.frames_per_chunk  # host mirror
                 return logp
             self._demote()
         affined = np.asarray(
@@ -417,6 +430,7 @@ class ConformerStreamer:
 
         def emit(nf):
             need = k + (nf - 1) * s
+            self._check_pe_budget(nf)
             chunk = jnp.asarray(self._bins[:, :need])
             logp, self._caches = self._step_for(nf)(
                 self._params, chunk, self._caches, self._offset
@@ -433,6 +447,19 @@ class ConformerStreamer:
         if out:
             return np.concatenate(out, axis=1)
         return np.zeros((self.batch, 0, self.cfg.n_classes + 1), np.float32)
+
+    def _check_pe_budget(self, n_new: int) -> None:
+        """The sinusoidal PE table ends at cfg.max_pos_len; past it,
+        dynamic_slice would silently clamp and every later frame would
+        reuse the final PE rows (silently wrong log-probs forever). The
+        offline forward fails loudly there — so does the streamer."""
+        if self._offset + n_new > self.cfg.max_pos_len:
+            raise RuntimeError(
+                f"stream reached {self._offset + n_new} encoder frames, "
+                f"past the positional-encoding table "
+                f"(max_pos_len={self.cfg.max_pos_len}); reset() the "
+                f"stream or raise max_pos_len"
+            )
 
     def decode_beam(
         self,

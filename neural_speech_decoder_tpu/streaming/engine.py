@@ -68,19 +68,26 @@ class GRUStreamer:
         self.batch = batch
         self.frames_per_chunk = frames_per_chunk
         self.causal = causal
-        self.k_smooth = cfg.gaussian_kernel_size
-        pad_l, pad_r = same_padding(self.k_smooth)
+        if cfg.gaussian_smooth_width <= 0:
+            # offline gaussian_smooth is a no-op for sigma<=0; building the
+            # Gaussian taps would divide by zero and emit all-NaN logits
+            self.k_smooth = 1
+            pad_l = pad_r = 0
+            taps = np.ones((1,), np.float32)
+        else:
+            self.k_smooth = cfg.gaussian_kernel_size
+            pad_l, pad_r = same_padding(self.k_smooth)
+            taps = gaussian_kernel(self.k_smooth, cfg.gaussian_smooth_width)
+            if causal:
+                taps = taps[: pad_l + 1] / taps[: pad_l + 1].sum()
         self.lookahead = 0 if causal else pad_r
         self.pad_left = pad_l
-        taps = gaussian_kernel(self.k_smooth, cfg.gaussian_smooth_width)
-        if causal:
-            taps = taps[: pad_l + 1] / taps[: pad_l + 1].sum()
         self._taps = jnp.asarray(taps)
 
         # Bake the day calibration into a single affine.
         self._w_day = params["day"]["weight"][day_idx]
         self._b_day = params["day"]["bias"][day_idx]
-        self._params = params
+        self._params = jax.device_put(params)
         smooth, gru_step, gru_frames = self._build_step()
         self._step = (smooth, gru_step)
         self._gru_frames_fn = gru_frames
@@ -112,12 +119,12 @@ class GRUStreamer:
         k, s = cfg.kernel_len, cfg.stride_len
         n_f = self.frames_per_chunk
         taps = self._taps
-        params = self._params
 
-        @jax.jit
-        def smooth_calibrate(raw_window, w_day, b_day):
+        def smooth_calibrate_body(raw_window, w_day, b_day):
             """raw_window: [B, n + k_smooth - 1, C] -> [B, n, C] smoothed,
-            day-affined, softsigned bins (VALID conv — context explicit)."""
+            day-affined, softsigned bins (VALID conv — context explicit).
+            Shared by the drain path and the fused fast path — one copy of
+            the preprocessing semantics."""
             c = raw_window.shape[-1]
             kernel = jnp.tile(taps[:, None, None], (1, 1, c)).astype(
                 raw_window.dtype
@@ -129,9 +136,15 @@ class GRUStreamer:
             y = jnp.einsum("btd,dk->btk", sm, w_day) + b_day
             return jax.nn.soft_sign(y)
 
-        def gru_frames(frame_bins, h):
+        self._smooth_calibrate_body = smooth_calibrate_body
+        smooth_calibrate = jax.jit(smooth_calibrate_body)
+
+        def gru_frames(params, frame_bins, h):
             """frame_bins: [B, k + (n_f-1)*s, C] bins covering n_f frames.
-            Returns (logits [B, n_f, K], h')."""
+            Returns (logits [B, n_f, K], h'). ``params`` is a jit ARGUMENT
+            (closure-captured weights embed as HLO constants — megabytes
+            of program per compiled variant, and an oversized remote-
+            compile request through the axon tunnel)."""
             b = frame_bins.shape[0]
             x = frame_bins.astype(cfg.compute_dtype)
             # unfold into n_f frames, torch layout (c*k + j)
@@ -177,7 +190,7 @@ class GRUStreamer:
             )
             return logits, h
 
-        gru_step = partial(jax.jit, donate_argnums=(1,))(gru_frames)
+        gru_step = partial(jax.jit, donate_argnums=(2,))(gru_frames)
         return smooth_calibrate, gru_step, gru_frames
 
     def _build_fused_step(self, residual: int):
@@ -195,28 +208,25 @@ class GRUStreamer:
         cfg = self.cfg
         k, s = cfg.kernel_len, cfg.stride_len
         n_f = self.frames_per_chunk
-        taps = self._taps
-        ks = int(np.asarray(taps).shape[0])
-        w_day, b_day = self._w_day, self._b_day
+        ks = int(np.asarray(self._taps).shape[0])
+        smooth_calibrate_body = self._smooth_calibrate_body
         gru_frames = self._gru_frames_fn
 
-        @partial(jax.jit, donate_argnums=(0,))
-        def fused(state, new):
+        @partial(jax.jit, donate_argnums=(3,))
+        def fused(params, w_day, b_day, state, new):
             raw_ctx, bin_ctx, h = state
             window = jnp.concatenate([raw_ctx, new], axis=1)
-            c = window.shape[-1]
-            kernel = jnp.tile(taps[:, None, None], (1, 1, c)).astype(window.dtype)
-            sm = jax.lax.conv_general_dilated(
-                window, kernel, (1,), [(0, 0)],
-                dimension_numbers=("NTC", "TIO", "NTC"), feature_group_count=c,
-            )
-            cal = jax.nn.soft_sign(
-                jnp.einsum("btd,dk->btk", sm, w_day) + b_day
-            )
+            cal = smooth_calibrate_body(window, w_day, b_day)
             bins = jnp.concatenate([bin_ctx, cal], axis=1)
             # Frames consume bins[0 : k+(n_f-1)s]; residual bins carry over.
-            logits, h = gru_frames(bins[:, : k + (n_f - 1) * s], h)
-            new_state = (window[:, -(ks - 1):], bins[:, s * n_f:], h)
+            logits, h = gru_frames(params, bins[:, : k + (n_f - 1) * s], h)
+            # positive-index slice: -(ks-1) would keep the WHOLE window
+            # when ks == 1 (1-tap smoothing) and grow state every chunk
+            new_state = (
+                window[:, window.shape[1] - (ks - 1):],
+                bins[:, s * n_f:],
+                h,
+            )
             return logits, new_state
 
         del residual  # static via bin_ctx shape; kept for cache keying
@@ -242,7 +252,8 @@ class GRUStreamer:
                     # recompile) the jit wrapper on every call
                     fused = self._fused_cache[w0] = self._build_fused_step(w0)
                 logits, self._fast_state = fused(
-                    self._fast_state, jnp.asarray(new_bins, jnp.float32)
+                    self._params, self._w_day, self._b_day,
+                    self._fast_state, jnp.asarray(new_bins, jnp.float32),
                 )
                 return logits
             self._demote()
@@ -309,7 +320,7 @@ class GRUStreamer:
         need = k + (n_f - 1) * s
         while self._bins.shape[1] >= need:
             chunk = jnp.asarray(self._bins[:, :need])
-            logits, self._h = gru_step(chunk, self._h)
+            logits, self._h = gru_step(self._params, chunk, self._h)
             out.append(np.asarray(logits))
             self._bins = self._bins[:, n_f * s :]
         if final and self._bins.shape[1] >= k:
@@ -400,4 +411,4 @@ class GRUStreamer:
                 self._step1 = self._build_step()[1]
             finally:
                 self.frames_per_chunk = saved
-        return self._step1(chunk, self._h)
+        return self._step1(self._params, chunk, self._h)
