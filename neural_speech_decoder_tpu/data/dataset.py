@@ -81,8 +81,12 @@ def pack_days(day_list: Sequence[dict[str, Any]]) -> PackedDataset:
             labels.append(lab[:MAX_SEQ_LEN])
             label_lens.append(int(day["phoneLens"][t]))
             days.append(day_idx)
-            if "transcriptions" in day:
-                transcripts.append(str(day["transcriptions"][t]))
+            # keep transcripts positionally aligned with trials even when
+            # only some days carry the key (e.g. competition holdout days)
+            transcripts.append(
+                str(day["transcriptions"][t])
+                if "transcriptions" in day else None
+            )
     lengths = np.array([f.shape[0] for f in feats], dtype=np.int64)
     offsets = np.zeros(len(feats) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])

@@ -266,6 +266,9 @@ def _use_fused_attention(cfg: ConformerConfig, t: int) -> bool:
         and dh % 128 == 0
         and vmem_est <= (12 << 20)
         and jax.default_backend() == "tpu"
+        # multi-chip: no SPMD rule for Mosaic custom calls — XLA would
+        # all-gather + replicate the kernel; use the einsum path
+        and jax.device_count() == 1
     )
 
 

@@ -45,11 +45,20 @@ Params = dict[str, Any]
 _warned_pallas_fallback = False
 
 
-def _pallas_scan_gate(backend: str, hidden: int, batch: int) -> bool:
+def _pallas_scan_gate(backend: str, hidden: int, batch: int,
+                      n_devices: int = 1) -> bool:
     """Auto-gate for the Pallas GRU scan kernel (needs lane/sublane-tiled
     shapes: H % 128, B % 16). Warns once when running on TPU but the shapes
     force the slow ``lax.scan`` path — a user with e.g. B=60 should see why
-    throughput halved rather than silently degrade."""
+    throughput halved rather than silently degrade.
+
+    Multi-device runs (n_devices > 1) take the XLA path: Mosaic custom
+    calls have no SPMD partitioning rule, so under GSPMD data parallelism
+    XLA would all-gather the sharded operands and run the kernel
+    replicated on every chip — correct but defeating the parallelism.
+    Wrapping the kernels in shard_map is the future fix (ROADMAP)."""
+    if n_devices > 1:
+        return False
     ok = hidden % 128 == 0 and batch % 16 == 0
     if backend == "tpu" and not ok:
         global _warned_pallas_fallback
@@ -299,7 +308,9 @@ def gru_encode(
         xp = jnp.transpose(xp, (1, 2, 0, 3))  # [L, D, B, 3H]
         use_pallas = cfg.use_pallas
         if use_pallas is None:
-            use_pallas = _pallas_scan_gate(jax.default_backend(), h, b)
+            use_pallas = _pallas_scan_gate(
+                jax.default_backend(), h, b, jax.device_count()
+            )
         if use_pallas:
             # Direction 1's time reversal happens inside the kernel's block
             # index maps — no flip copies on either side.
@@ -334,10 +345,9 @@ def gru_forward(
     x = x.astype(cfg.compute_dtype)
     use_pallas = cfg.use_pallas
     if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and cfg.hidden_dim % 128 == 0
-            and x.shape[0] % 16 == 0
+        use_pallas = _pallas_scan_gate(
+            jax.default_backend(), cfg.hidden_dim, x.shape[0],
+            jax.device_count(),
         )
     if use_pallas and not train and cfg.neural_dim % 128 == 0:
         # Inference: one fused kernel pass (smooth+affine+softsign). The

@@ -71,6 +71,9 @@ def ctc_loss(
         blank_id == 0
         and jax.default_backend() == "tpu"
         and log_probs.shape[0] % 8 == 0
+        # multi-chip: Mosaic custom calls have no SPMD partitioning rule;
+        # the optax path shards cleanly under GSPMD
+        and jax.device_count() == 1
     )
     if use_tpu_kernel:
         # Pallas forward-backward kernels: optax's lax.scan pays ~20us of

@@ -74,10 +74,18 @@ def slice_env(slot: int, chips_per_trial: int) -> dict[str, str]:
     }
 
 
-def _slot_init(slot_queue, chips_per_trial: int) -> None:
-    """Pool initializer: claim a chip-slot for this worker process."""
-    slot = slot_queue.get()
-    os.environ.update(slice_env(slot, chips_per_trial))
+_WORKER_BASE_ARGS: dict | None = None
+
+
+def _worker_init(base_args: dict, slot_queue, chips_per_trial: int) -> None:
+    """Pool initializer: receive base_args ONCE per worker (they may embed
+    an in-memory dataset — pickling them per trial would ship a multi-GB
+    payload for every trial) and claim a chip-slot when pinning is on."""
+    global _WORKER_BASE_ARGS
+    _WORKER_BASE_ARGS = base_args
+    if slot_queue is not None:
+        slot = slot_queue.get()
+        os.environ.update(slice_env(slot, chips_per_trial))
 
 
 def _run_trial(base_args: dict, trial: Trial) -> Trial:
@@ -101,9 +109,8 @@ def _run_trial(base_args: dict, trial: Trial) -> Trial:
     return trial
 
 
-def _worker(payload):
-    base_args, trial = payload
-    return _run_trial(base_args, trial)
+def _worker(trial):
+    return _run_trial(_WORKER_BASE_ARGS, trial)
 
 
 def run_sweep(
@@ -127,8 +134,7 @@ def run_sweep(
         Trial(i, ov, os.path.join(sweep_dir, f"trial_{i:04d}"))
         for i, ov in enumerate(override_list)
     ]
-    payloads = [(base_args, t) for t in trials]
-    init, initargs = None, ()
+    slot_queue = None
     if chips_per_trial:
         n_slots = max((total_chips or chips_per_trial) // chips_per_trial, 1)
         array_parallelism = min(array_parallelism, n_slots)
@@ -136,16 +142,17 @@ def run_sweep(
         slot_queue = ctx0.Manager().Queue()
         for s in range(array_parallelism):
             slot_queue.put(s)
-        init, initargs = _slot_init, (slot_queue, chips_per_trial)
     if use_processes and array_parallelism > 1:
         ctx = mp.get_context("spawn")  # fresh JAX runtime per trial
-        with ctx.Pool(processes=array_parallelism, initializer=init,
-                      initargs=initargs) as pool:
-            results = pool.map(_worker, payloads)
+        with ctx.Pool(
+            processes=array_parallelism, initializer=_worker_init,
+            initargs=(base_args, slot_queue, chips_per_trial or 0),
+        ) as pool:
+            results = pool.map(_worker, trials)
     else:
         if chips_per_trial:
             os.environ.update(slice_env(0, chips_per_trial))
-        results = [_worker(p) for p in payloads]
+        results = [_run_trial(base_args, t) for t in trials]
     results.sort(key=lambda t: t.best_cer)
     with open(os.path.join(sweep_dir, "sweep_summary.json"), "w") as f:
         json.dump(

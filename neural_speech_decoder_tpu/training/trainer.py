@@ -221,7 +221,7 @@ def _tree_norms(tree, prefix: str) -> dict:
 WATCH_PREFIXES = ("train/grad_norm/", "train/param_norm/")
 
 
-def make_train_step(args: dict, model: ModelAPI, tx) -> Callable:
+def make_train_step(args: dict, model: ModelAPI, tx, schedule=None) -> Callable:
     log_grad_norm = args.get("model_type", "gru_baseline") == "transformer_ctc"
     # Per-layer grad/param norms — the reference's wandb.watch(log="all",
     # log_freq=100) observability (neural_decoder_trainer.py:122). Computed
@@ -242,9 +242,11 @@ def make_train_step(args: dict, model: ModelAPI, tx) -> Callable:
         and args.get("model_type", "gru_baseline") != "transformer_ctc"
         and bool(args.get("fused_optimizer", False))
     ):
-        from .optim import make_optimizer as _make_opt
+        if schedule is None:  # standalone callers (benches) omit it
+            from .optim import make_optimizer as _make_opt
 
-        _, fused_schedule = _make_opt(args)
+            _, schedule = _make_opt(args)
+        fused_schedule = schedule
         fused_cfg = {
             "b1": 0.9,
             "b2": 0.999,
@@ -344,13 +346,25 @@ def run_eval(
     for the GRU/no-smoothing path, sum for the label-smoothing path), then
     averaged over batches (``neural_decoder_trainer.py:303-310,332``).
     """
+    # Multi-host: eval outputs are batch-sharded across processes;
+    # np.asarray on a non-addressable global array raises. Gather to every
+    # host first (all hosts compute the same metrics — keeps the
+    # primary-only logging decision downstream).
+    if jax.process_count() > 1:
+        from jax.experimental.multihost_utils import process_allgather
+
+        def to_host(a):
+            return np.asarray(process_allgather(a, tiled=True))
+    else:
+        to_host = np.asarray
+
     batch_scalars = []
     total_dist = 0
     total_len = 0
     for batch in eval_batches(test_ds, batch_size, t_max, u_max):
         arrays = device_put(batch)
         per_seq, tokens, dec_lens = eval_step(params, *arrays)
-        per_seq = np.asarray(per_seq)
+        per_seq = to_host(per_seq)
         w = batch.weight
         if torch_mean_semantics:
             norm = per_seq / np.maximum(batch.y_lens, 1)
@@ -360,8 +374,8 @@ def run_eval(
         batch_scalars.append(scalar)
         real = w > 0
         d, l = batch_per(
-            np.asarray(tokens)[real],
-            np.asarray(dec_lens)[real],
+            to_host(tokens)[real],
+            to_host(dec_lens)[real],
             batch.y[real],
             batch.y_lens[real],
         )
@@ -431,10 +445,19 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
     n_days = len(raw["train"])
     # Persist the resolved day count so load_model rebuilds correctly (the
     # reference hardcodes nDays=24 in its loader — trainer.py:390-410).
-    save_args(
-        output_dir,
-        {**{k: v for k, v in args.items() if k != "dataset"}, "nDays": n_days},
-    )
+    # Multi-host: only the primary writes artifacts — N processes sharing
+    # one outputDir would interleave truncate/write on the same pickle
+    # (parallel/multihost.py::is_primary; replicated-DP state is fully
+    # addressable on every host, so one writer suffices).
+    from ..parallel.multihost import is_primary
+
+    primary = is_primary()
+    if primary:
+        save_args(
+            output_dir,
+            {**{k: v for k, v in args.items() if k != "dataset"},
+             "nDays": n_days},
+        )
 
     batch_size = int(args["batchSize"])
     t_max, u_max = choose_envelope(
@@ -461,6 +484,11 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
     # from parallel/shardings.py; collectives inserted by XLA GSPMD).
     devices = jax.devices()
     n_model = int(args.get("n_model_devices", 1))
+    if n_model > len(devices):
+        raise ValueError(
+            f"n_model_devices={n_model} exceeds the {len(devices)} "
+            f"available device(s)"
+        )
     avail = len(devices) // n_model
     n_data = min(int(args.get("n_data_devices") or avail), avail)
     n_data = max(d for d in range(1, n_data + 1) if batch_size % d == 0)
@@ -513,7 +541,7 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
                           batch.days)
             )
 
-    train_step = make_train_step(args, model, tx)
+    train_step = make_train_step(args, model, tx, schedule)
     eval_step = make_eval_step(model)
     torch_mean = args.get("label_smoothing", 0.0) == 0
 
@@ -560,6 +588,8 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
         print(f"Resumed from step {start_step}")
 
     def save_last(step):
+        if not primary:
+            return
         ckpt.save("lastState", state)
         ckpt.save_sidecar(
             {
@@ -619,7 +649,7 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
         key = jax.random.fold_in(base_key, step)
         state, metrics = train_step(state, *device_put_batch(batch), key)
         if step == profile_stop:
-            jax.tree.map(lambda x: x.block_until_ready(), metrics)
+            jax.device_get(metrics)  # host transfer: block_until_ready is a no-op through the axon tunnel
             jax.profiler.stop_trace()
 
         # Pipelined logging: materializing metrics synchronizes with the
@@ -661,12 +691,14 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
             prev_best = np.min(test_cer) if test_cer else np.inf
             should_save = cer < prev_best and not (compat_skip_first and not test_cer)
             if should_save:
-                ckpt.save("modelState", state)
+                if primary:
+                    ckpt.save("modelState", state)
                 logger.log({"eval/best_cer": cer}, step=step)
                 print(f"  → New best model saved! CER: {cer:.6f}")
             test_loss.append(avg_loss)
             test_cer.append(cer)
-            save_training_stats(output_dir, test_loss, test_cer)
+            if primary:
+                save_training_stats(output_dir, test_loss, test_cer)
 
         if ckpt_every and (step + 1) % ckpt_every == 0:
             save_last(step)

@@ -84,6 +84,7 @@ def test_fused_attention_gate_rejects_long_sequences(monkeypatch):
     from neural_speech_decoder_tpu.models import conformer as cm
 
     monkeypatch.setattr(cm.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(cm.jax, "device_count", lambda: 1)
     cfg = cm.ConformerConfig(compute_dtype=jnp.bfloat16)
     assert (cfg.latent_dim // cfg.num_heads) % 128 == 0
     assert cm._use_fused_attention(cfg, 320) is True
