@@ -110,6 +110,9 @@ struct Lexicon {
       if (paren != std::string::npos) word = word.substr(0, paren);
       for (auto& c : word) c = std::tolower(static_cast<unsigned char>(c));
       std::vector<int> phones;
+      bool all_known = true;  // skip entries with out-of-set phones: a
+      // truncated pronunciation would decode the word on the wrong
+      // phone sequence (mirrors the Python oracle, lexicon.py)
       while (ss >> tok) {
         std::string p;
         for (char c : tok)
@@ -117,8 +120,9 @@ struct Lexicon {
             p += std::toupper(static_cast<unsigned char>(c));
         int id = PhoneId(p);
         if (id > 0) phones.push_back(id);
+        else all_known = false;
       }
-      if (!phones.empty()) Add(word, phones);
+      if (all_known && !phones.empty()) Add(word, phones);
     }
     return true;
   }

@@ -64,8 +64,10 @@ class Lexicon:
                 # strip CMUdict alternative markers word(2) and stress digits
                 word = re.sub(r"\(\d+\)$", "", word)
                 phones = [re.sub(r"[0-9]", "", p).upper() for p in phones]
-                phones = [p for p in phones if p in PHONE_DEF_SIL]
-                if phones:
+                # skip entries containing phones outside the 39+SIL set —
+                # a silently truncated pronunciation would commit the word
+                # on the wrong phone sequence (e.g. AX-style dictionaries)
+                if phones and all(p in PHONE_DEF_SIL for p in phones):
                     lex.add(word, phones)
         return lex
 

@@ -349,7 +349,10 @@ def gru_forward(
             jax.default_backend(), cfg.hidden_dim, x.shape[0],
             jax.device_count(),
         )
-    if use_pallas and not train and cfg.neural_dim % 128 == 0:
+    if (use_pallas and not train and cfg.neural_dim % 128 == 0
+            and cfg.gaussian_smooth_width > 0):
+        # (sigma<=0 keeps the XLA chain: gaussian_smooth is a no-op there,
+        # while Gaussian taps would be 0/0 = NaN)
         # Inference: one fused kernel pass (smooth+affine+softsign). The
         # training path keeps the XLA chain for its autodiff.
         from ..ops.pallas.frontend_kernel import fused_frontend

@@ -69,6 +69,9 @@ def ctc_loss(
     u = labels.shape[1]
     use_tpu_kernel = (
         blank_id == 0
+        and zero_infinity  # the kernel returns a 1e30 sentinel (and a
+        # garbage gradient) for infeasible rows; only the zero_infinity
+        # masking below makes that safe
         and jax.default_backend() == "tpu"
         and log_probs.shape[0] % 8 == 0
         # multi-chip: Mosaic custom calls have no SPMD partitioning rule;

@@ -73,6 +73,13 @@ def fused_frontend(
     (gaussian_smooth → day_affine → soft_sign) to float tolerance.
     """
     b, t, c = x.shape
+    # The XLA twin (day_affine) clips out-of-range day indices (load-
+    # bearing for -1 sentinels / unseen eval days); an unclipped index
+    # here would select an out-of-bounds weight block via the
+    # scalar-prefetch index map.
+    day_idx = jnp.clip(
+        day_idx.astype(jnp.int32), 0, day_weights.shape[0] - 1
+    )
     taps = gaussian_kernel(kernel_size, sigma)
     pad_l, pad_r = same_padding(kernel_size)
     kern = _make_kernel(taps, pad_l, pad_r)

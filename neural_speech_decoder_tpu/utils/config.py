@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import re
+
 import yaml
 
 
@@ -23,6 +25,9 @@ def load_yaml_config(path: str) -> dict[str, Any]:
     return cfg
 
 
+_SCI_NOTATION = re.compile(r"[+-]?(\d+\.?\d*|\.\d+)[eE][+-]?\d+")
+
+
 def apply_overrides(cfg: dict[str, Any], overrides: Sequence[str]) -> dict:
     """Apply ``a.b.c=value`` overrides in place; values YAML-parsed."""
     for ov in overrides:
@@ -30,20 +35,19 @@ def apply_overrides(cfg: dict[str, Any], overrides: Sequence[str]) -> dict:
             raise ValueError(f"override must be key=value: {ov!r}")
         key, _, raw = ov.partition("=")
         value = yaml.safe_load(raw) if raw != "" else None
-        if isinstance(value, str):
-            # YAML 1.1 parses "1e-3" as a string; accept scientific notation.
-            try:
-                value = int(value)
-            except ValueError:
-                try:
-                    value = float(value)
-                except ValueError:
-                    pass
+        if isinstance(value, str) and _SCI_NOTATION.fullmatch(value):
+            # YAML 1.1 parses "1e-3" as a string; coerce ONLY scientific
+            # notation (a bare int()/float() fallback would also convert
+            # intended strings like "1_5" or "1E5" tags).
+            value = float(value)
         node = cfg
         parts = key.split(".")
         for p in parts[:-1]:
-            node = node.setdefault(p, {})
-            if not isinstance(node, dict):
+            nxt = node.setdefault(p, {})
+            if nxt is None:  # empty YAML section ("model:") parses to None
+                nxt = node[p] = {}
+            if not isinstance(nxt, dict):
                 raise ValueError(f"cannot override through non-dict at {p}")
+            node = nxt
         node[parts[-1]] = value
     return cfg

@@ -148,3 +148,54 @@ def test_lm_stream_use_after_close_raises():
         s.feed(lp)
     with pytest.raises(RuntimeError, match="closed"):
         s.nbest()
+
+
+def test_lexicon_skips_unknown_phone_entries(tmp_path):
+    """Entries with out-of-set phones are skipped whole (both engines) —
+    a truncated pronunciation would decode the word on the wrong
+    phones."""
+    from neural_speech_decoder_tpu.decoding.lexicon import Lexicon
+
+    lex_path = tmp_path / "lex.txt"
+    lex_path.write_text("about AX B AW T\ncat K AE T\n")
+    lex = Lexicon.from_file(str(lex_path))
+    assert "cat" in lex.word_ids
+    assert "about" not in lex.word_ids  # AX is outside the 39+SIL set
+
+
+def test_config_overrides_through_null_section_and_sci_notation():
+    from neural_speech_decoder_tpu.utils.config import apply_overrides
+
+    out = apply_overrides(
+        {"model": None}, ["model.lr=1e-3", "tag=v1_5e"]
+    )
+    assert out["model"]["lr"] == 1e-3  # null section becomes a dict
+    assert out["tag"] == "v1_5e"  # non-scientific strings stay strings
+
+
+def test_fused_frontend_clamps_day_index():
+    """Out-of-range day indices clip like the XLA day_affine path."""
+    import jax
+    import jax.numpy as jnp
+
+    from neural_speech_decoder_tpu.ops.pallas.frontend_kernel import (
+        fused_frontend,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 16, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((2, 128, 128)) * 0.1, jnp.float32)
+    b = jnp.zeros((2, 128), jnp.float32)
+    ref = fused_frontend(
+        x, w, b, jnp.array([1, 1], jnp.int32), kernel_size=5, sigma=1.0,
+        interpret=True,
+    )
+    got = fused_frontend(
+        x, w, b, jnp.array([7, -3], jnp.int32), kernel_size=5, sigma=1.0,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got)[0], np.asarray(ref)[0]
+    )  # 7 clips to 1
+    # -3 clips to 0 (just check finite / no OOB garbage)
+    assert np.all(np.isfinite(np.asarray(got)))
