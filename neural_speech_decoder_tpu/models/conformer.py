@@ -63,7 +63,11 @@ class ConformerConfig:
     # Fused Pallas MHSA (scores→mask→softmax→dropout→@V in VMEM, custom
     # VJP) on the TPU bf16 fast path; fp32 keeps the naive einsum path for
     # exact torch parity. See ops/pallas/attention_kernel.py.
-    fused_attention: bool = True
+    # True = auto-gate (backend/dtype/VMEM, and on multi-device a
+    # registered kernel mesh — see parallel/kernel_mesh.py); False = off;
+    # "force" = always use the kernel when shapes allow, in interpreter
+    # mode off-TPU (multi-device CPU tests).
+    fused_attention: bool | str = True
     # Head-parallel tensor parallelism: when True, in_proj_w/in_proj_b use
     # the per-head-interleaved column order (head, {q,k,v}, dh) instead of
     # torch's ({q,k,v}, head, dh), so sharding the last weight axis over a
@@ -247,7 +251,7 @@ def _ff_module(p, x, key, dropout, train):
     return _dropout(k2, h, dropout, train)
 
 
-def _use_fused_attention(cfg: ConformerConfig, t: int) -> bool:
+def _use_fused_attention(cfg: ConformerConfig, t: int, b: int) -> bool:
     dh = cfg.latent_dim // cfg.num_heads
     # VMEM budget gate: the kernel keeps a full [Tp, Tp] f32 score matrix
     # (plus q/k/v/out [Tp, dh] blocks) per (batch, head) program; the
@@ -256,20 +260,111 @@ def _use_fused_attention(cfg: ConformerConfig, t: int) -> bool:
     # instead of falling back — so gate on padded T and use the einsum
     # path for very long sequences (max_pos_len allows 5000).
     from ..ops.pallas.attention_kernel import _pad_t
+    from ..parallel.kernel_mesh import get_kernel_mesh
 
     tp = _pad_t(t)
     vmem_est = 2 * tp * tp * 4 + 4 * tp * dh * 4
-    return (
+    shapes_ok = dh % 128 == 0 and vmem_est <= (12 << 20)
+    if cfg.fused_attention == "force":  # tests: interpreter kernel off-TPU
+        return shapes_ok
+    if not (
         cfg.fused_attention
-        and not cfg.qkv_interleaved  # TP path: GSPMD-partitioned einsums
+        and shapes_ok
         and cfg.compute_dtype == jnp.bfloat16
-        and dh % 128 == 0
-        and vmem_est <= (12 << 20)
         and jax.default_backend() == "tpu"
-        # multi-chip: no SPMD rule for Mosaic custom calls — XLA would
-        # all-gather + replicate the kernel; use the einsum path
-        and jax.device_count() == 1
+    ):
+        return False
+    if jax.device_count() == 1:
+        return True
+    # Multi-chip: a bare Mosaic custom call has no GSPMD partitioning rule
+    # (XLA would all-gather + replicate it), so the kernel path needs a
+    # registered kernel mesh to shard_map over — batch over the mesh's
+    # batch axis, and (for the qkv_interleaved TP layout) heads over the
+    # model axis. The shard_map region is fully manual (JAX 0.9:
+    # partial-manual needs vma metadata Pallas out-shapes don't carry),
+    # so the mapped axes must cover ALL mesh devices and shapes must
+    # split evenly across the shards.
+    km = get_kernel_mesh()
+    if km is None or km.n_devices <= 1 or b % km.batch_shards != 0:
+        return False
+    if cfg.qkv_interleaved and km.model_shards > 1:
+        return (
+            cfg.num_heads % km.model_shards == 0
+            and km.batch_shards * km.model_shards == km.n_devices
+        )
+    return km.batch_shards == km.n_devices
+
+
+def _fused_mhsa_sharded(cfg, q, k, v, lens, key, *, dropout_rate, train):
+    """Fused Pallas MHSA with multi-device support.
+
+    Single device: plain ``fused_mhsa`` call (Pallas interpreter off-TPU,
+    for tests). Multi-device with a registered kernel mesh
+    (parallel/kernel_mesh.py): the kernel runs inside ``shard_map`` —
+    batch over the mesh's batch axis, and, for the ``qkv_interleaved``
+    tensor-parallel layout, heads over the model axis (each 'model' shard
+    attends its local heads collective-free, composing with the
+    row-parallel out projection exactly like the einsum TP path). The
+    in-kernel dropout counter is seeded per (batch, head) *program id*,
+    which restarts at 0 on every shard — so the key is folded with the
+    shard index inside the manual region to decorrelate masks across
+    shards. The region is fully manual with ``check_vma=False`` (JAX
+    0.9: partial-manual requires vma metadata Pallas out-shapes don't
+    carry), so the mapped axes must cover all mesh devices — enforced by
+    ``_use_fused_attention`` and re-checked here for the "force" path."""
+    from functools import partial
+
+    from ..ops.pallas.attention_kernel import fused_mhsa
+    from ..parallel.kernel_mesh import get_kernel_mesh
+
+    interpret = jax.default_backend() != "tpu"
+    left = cfg.attn_left_context if cfg.causal else None
+    call = partial(
+        fused_mhsa, dropout_rate=dropout_rate, train=train,
+        interpret=interpret, left_context=left,
     )
+    km = get_kernel_mesh()
+    if not (jax.device_count() > 1 and km is not None and km.n_devices > 1):
+        return call(q, k, v, lens, key)
+
+    from jax.sharding import PartitionSpec as P
+
+    head_tp = cfg.qkv_interleaved and km.model_shards > 1
+    mapped = km.batch_shards * (km.model_shards if head_tp else 1)
+    if (
+        mapped != km.n_devices
+        or q.shape[0] % km.batch_shards != 0
+        or (head_tp and q.shape[1] % km.model_shards != 0)
+    ):
+        # Mesh doesn't map cleanly (e.g. a forced run on a TP mesh with
+        # replicated heads): run the kernel un-shard_mapped — XLA
+        # all-gathers + replicates it, which is correct but slow.
+        return call(q, k, v, lens, key)
+    qkv_spec = P(km.batch_axis, km.model_axis if head_tp else None)
+    if lens is None:
+        lens = jnp.full((q.shape[0],), q.shape[2], jnp.int32)
+    dropout_on = train and key is not None and dropout_rate > 0.0
+
+    def inner(q, k, v, lens, key):
+        if dropout_on:
+            idx = jax.lax.axis_index(km.batch_axis)
+            if head_tp:
+                idx = idx * km.model_shards + jax.lax.axis_index(
+                    km.model_axis
+                )
+            key = jax.random.fold_in(key, idx)
+        return call(q, k, v, lens, key)
+
+    if key is None:
+        key = jax.random.key(0)  # unused (dropout_on False); shard_map
+        # needs a concrete array operand, not None
+    return jax.shard_map(
+        inner,
+        mesh=km.mesh,
+        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(km.batch_axis), P()),
+        out_specs=qkv_spec,
+        check_vma=False,
+    )(q, k, v, lens, key)
 
 
 def _attention(p, cfg, x, pad_mask, out_lens, key, train):
@@ -300,14 +395,11 @@ def _attention(p, cfg, x, pad_mask, out_lens, key, train):
             return z.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-    if _use_fused_attention(cfg, t):
-        from ..ops.pallas.attention_kernel import fused_mhsa
-
-        out = fused_mhsa(
-            q, k, v, out_lens, key,
+    if _use_fused_attention(cfg, t, b):
+        out = _fused_mhsa_sharded(
+            cfg, q, k, v, out_lens, key,
             dropout_rate=dropout if key is not None else 0.0,
             train=train and key is not None,
-            left_context=cfg.attn_left_context if cfg.causal else None,
         )
     else:
         scores = jnp.einsum(

@@ -38,6 +38,7 @@ from ..ops.day_affine import day_affine, init_day_affine
 from ..ops.gaussian import gaussian_smooth
 from ..ops.pallas.gru_scan import gru_sequence
 from ..ops.unfold import unfold_matmul, unfold_output_length
+from ..parallel.kernel_mesh import get_kernel_mesh, kernel_batch_shards
 from .common import orthogonal, torch_linear_init, uniform_bound, xavier_uniform
 
 Params = dict[str, Any]
@@ -52,12 +53,15 @@ def _pallas_scan_gate(backend: str, hidden: int, batch: int,
     force the slow ``lax.scan`` path — a user with e.g. B=60 should see why
     throughput halved rather than silently degrade.
 
-    Multi-device runs (n_devices > 1) take the XLA path: Mosaic custom
-    calls have no SPMD partitioning rule, so under GSPMD data parallelism
-    XLA would all-gather the sharded operands and run the kernel
-    replicated on every chip — correct but defeating the parallelism.
-    Wrapping the kernels in shard_map is the future fix (ROADMAP)."""
-    if n_devices > 1:
+    Multi-device runs keep the kernel path when a kernel mesh is
+    registered (parallel/kernel_mesh.py): the call is shard_map-wrapped
+    over the mesh's batch axis, so each device runs the kernel on its
+    local batch shard and the tile constraints apply *per shard*. With no
+    registered mesh the XLA path is used instead — a bare Mosaic custom
+    call has no GSPMD partitioning rule, so XLA would all-gather the
+    sharded operands and run the kernel replicated on every chip."""
+    shards = kernel_batch_shards(batch, tile=16, n_devices=n_devices)
+    if shards is None:
         return False
     ok = hidden % 128 == 0 and batch % 16 == 0
     if backend == "tpu" and not ok:
@@ -262,6 +266,78 @@ def _gru_layer_bwd(res, dys):
 _gru_layer.defvjp(_gru_layer_fwd, _gru_layer_bwd)
 
 
+def _gru_sequence_sharded(xp, w_hh, b_hh):
+    """``gru_sequence`` with multi-device support: when a kernel mesh is
+    registered and more than one device is live, the kernel runs inside a
+    ``shard_map`` over the mesh with the batch axis mapped — each device
+    scans its own batch shard; weights enter replicated (``P()``; their
+    cotangents are psummed by shard_map's transpose). The region is fully
+    manual with ``check_vma=False`` (JAX 0.9: partial-manual requires vma
+    metadata Pallas out-shapes don't carry), so it is only taken when the
+    batch axis covers ALL mesh devices — any 'model' axis must be size 1,
+    else the unmapped-weight transpose would double-count over the
+    replicated axis. Tensor-parallel runs fall back to the XLA twin
+    (``kernel_batch_shards`` enforces this for the auto-gate; the guard
+    here covers the forced ``use_pallas=True`` path too). Off-TPU
+    backends run the kernel in the Pallas interpreter (tests)."""
+    from functools import partial
+
+    interpret = jax.default_backend() != "tpu"
+    km = get_kernel_mesh()
+    b = xp.shape[2]
+    if (
+        jax.device_count() > 1
+        and km is not None
+        and km.n_devices > 1
+        and km.batch_shards == km.n_devices
+        and b % km.batch_shards == 0
+    ):
+        from jax.sharding import PartitionSpec as P
+
+        spec = P(None, None, km.batch_axis, None)
+        return jax.shard_map(
+            partial(gru_sequence, interpret=interpret),
+            mesh=km.mesh,
+            in_specs=(spec, P(), P()),
+            out_specs=spec,
+            check_vma=False,
+        )(xp, w_hh, b_hh)
+    return gru_sequence(xp, w_hh, b_hh, interpret=interpret)
+
+
+def _fused_frontend_sharded(x, day_w, day_b, day_idx, *, kernel_size, sigma):
+    """Inference frontend kernel with the same shard_map wrapping rule as
+    ``_gru_sequence_sharded`` (batch axis mapped over a batch-only mesh,
+    weights replicated, fully-manual region with ``check_vma=False``)."""
+    from ..ops.pallas.frontend_kernel import fused_frontend
+    from functools import partial
+
+    interpret = jax.default_backend() != "tpu"
+    fn = partial(
+        fused_frontend, kernel_size=kernel_size, sigma=sigma,
+        interpret=interpret,
+    )
+    km = get_kernel_mesh()
+    if (
+        jax.device_count() > 1
+        and km is not None
+        and km.n_devices > 1
+        and km.batch_shards == km.n_devices
+        and x.shape[0] % km.batch_shards == 0
+    ):
+        from jax.sharding import PartitionSpec as P
+
+        b = P(km.batch_axis)
+        return jax.shard_map(
+            fn,
+            mesh=km.mesh,
+            in_specs=(b, P(), P(), b),
+            out_specs=b,
+            check_vma=False,
+        )(x, day_w, day_b, day_idx)
+    return fn(x, day_w, day_b, day_idx)
+
+
 def gru_encode(
     params: Params,
     cfg: GRUConfig,
@@ -314,7 +390,7 @@ def gru_encode(
         if use_pallas:
             # Direction 1's time reversal happens inside the kernel's block
             # index maps — no flip copies on either side.
-            ys = gru_sequence(xp, lp["w_hh"], lp["b_hh"])  # [L, D, B, H]
+            ys = _gru_sequence_sharded(xp, lp["w_hh"], lp["b_hh"])  # [L,D,B,H]
         else:
             if d == 2:
                 xp = xp.at[:, 1].set(jnp.flip(xp[:, 1], axis=0))
@@ -355,9 +431,7 @@ def gru_forward(
         # while Gaussian taps would be 0/0 = NaN)
         # Inference: one fused kernel pass (smooth+affine+softsign). The
         # training path keeps the XLA chain for its autodiff.
-        from ..ops.pallas.frontend_kernel import fused_frontend
-
-        x = fused_frontend(
+        x = _fused_frontend_sharded(
             x,
             params["day"]["weight"],
             params["day"]["bias"],

@@ -40,6 +40,43 @@ def ctc_feasible(
     return input_lens >= label_lens + n_rep
 
 
+def _ctc_kernel_sharded(log_probs, input_lens, labels, label_lens):
+    """Per-sequence Pallas CTC loss with multi-device support: when a
+    kernel mesh is registered (parallel/kernel_mesh.py) whose batch axis
+    covers all devices, the kernel runs inside a fully-manual
+    ``shard_map`` (``check_vma=False`` — JAX 0.9 partial-manual needs vma
+    metadata Pallas out-shapes don't carry) with every operand mapped
+    over the batch axis — each device computes the alpha/beta recursions
+    for its local batch shard, and the transpose needs no psum since all
+    differentiable inputs are batch-mapped. Off-TPU backends use the
+    Pallas interpreter (tests)."""
+    from functools import partial
+
+    from .pallas.ctc_kernel import ctc_loss_tpu
+    from ..parallel.kernel_mesh import get_kernel_mesh
+
+    fn = partial(ctc_loss_tpu, interpret=jax.default_backend() != "tpu")
+    km = get_kernel_mesh()
+    if (
+        jax.device_count() > 1
+        and km is not None
+        and km.n_devices > 1
+        and km.batch_shards == km.n_devices
+        and log_probs.shape[0] % km.batch_shards == 0
+    ):
+        from jax.sharding import PartitionSpec as P
+
+        b = P(km.batch_axis)
+        return jax.shard_map(
+            fn,
+            mesh=km.mesh,
+            in_specs=(b, b, b, b),
+            out_specs=b,
+            check_vma=False,
+        )(log_probs, input_lens, labels, label_lens)
+    return fn(log_probs, input_lens, labels, label_lens)
+
+
 def ctc_loss(
     log_probs: jax.Array,
     input_lens: jax.Array,
@@ -49,6 +86,7 @@ def ctc_loss(
     blank_id: int = 0,
     reduction: str = "mean",
     zero_infinity: bool = True,
+    use_kernel: bool | None = None,
 ) -> jax.Array:
     """CTC negative log-likelihood.
 
@@ -62,29 +100,41 @@ def ctc_loss(
       label_lens: ``[B]`` valid label counts.
       reduction: "mean" | "sum" | "none" with torch semantics ("mean"
         divides per-sequence loss by target length, then batch-averages).
+      use_kernel: None = auto (Pallas kernel on TPU for tile-aligned
+        shapes; multi-device additionally needs a registered kernel mesh —
+        parallel/kernel_mesh.py — to shard_map the kernel over the batch
+        axis, else the optax path shards cleanly under GSPMD); True =
+        force the kernel (interpreter mode off-TPU, for tests); False =
+        always optax.
 
     Returns: scalar for "mean"/"sum", ``[B]`` for "none".
     """
     t = log_probs.shape[1]
     u = labels.shape[1]
-    use_tpu_kernel = (
+    kernel_safe = (
         blank_id == 0
         and zero_infinity  # the kernel returns a 1e30 sentinel (and a
         # garbage gradient) for infeasible rows; only the zero_infinity
         # masking below makes that safe
-        and jax.default_backend() == "tpu"
-        and log_probs.shape[0] % 8 == 0
-        # multi-chip: Mosaic custom calls have no SPMD partitioning rule;
-        # the optax path shards cleanly under GSPMD
-        and jax.device_count() == 1
     )
+    if use_kernel is None:
+        from ..parallel.kernel_mesh import kernel_batch_shards
+
+        use_tpu_kernel = (
+            kernel_safe
+            and jax.default_backend() == "tpu"
+            and log_probs.shape[0] % 8 == 0
+            and kernel_batch_shards(log_probs.shape[0], tile=8) is not None
+        )
+    else:
+        use_tpu_kernel = use_kernel and kernel_safe
     if use_tpu_kernel:
         # Pallas forward-backward kernels: optax's lax.scan pays ~20us of
         # loop overhead per frame for ~0.1us of math (see ops/pallas/
         # ctc_kernel.py); numerics parity is pinned by test_pallas_ctc.
-        from .pallas.ctc_kernel import ctc_loss_tpu
-
-        per_seq = ctc_loss_tpu(log_probs, input_lens, labels, label_lens)
+        per_seq = _ctc_kernel_sharded(
+            log_probs, input_lens, labels, label_lens
+        )
     else:
         logit_pad = 1.0 - _length_mask(input_lens, t).astype(log_probs.dtype)
         label_pad = 1.0 - _length_mask(label_lens, u).astype(log_probs.dtype)

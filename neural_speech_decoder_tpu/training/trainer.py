@@ -130,6 +130,10 @@ def build_model(args: dict, n_days: int) -> ModelAPI:
         gaussian_smooth_width=args["gaussianSmoothWidth"],
         bidirectional=args["bidirectional"],
         compute_dtype=jnp.dtype(args.get("compute_dtype", "float32")),
+        # None = auto (Pallas scan on TPU for tile-aligned shapes; multi-
+        # device via the registered kernel mesh); True forces the kernel
+        # (interpreter mode off-TPU — multi-device CPU tests).
+        use_pallas=args.get("use_pallas"),
     )
 
     def forward(params, x, day_idx, x_lens, *, train, key):
@@ -160,9 +164,11 @@ def _loss_and_metrics(args: dict, model: ModelAPI, params, batch_arrays, key):
     label_smoothing = args.get("label_smoothing", 0.0)
     n_classes = args["nClasses"] + 1
     metrics = {}
+    ck = args.get("ctc_use_kernel")  # None = auto-gate (ops/ctc.py)
 
     if label_smoothing > 0:
-        per_seq = ctc_loss(log_probs, out_lens, y, y_lens, reduction="none")
+        per_seq = ctc_loss(log_probs, out_lens, y, y_lens, reduction="none",
+                           use_kernel=ck)
         ctc = jnp.mean(per_seq)
         # KL(log_probs || uniform) over ALL frames incl. padding — the
         # reference's kl_div(reduction='batchmean') on [T', B, K] divides by
@@ -173,7 +179,8 @@ def _loss_and_metrics(args: dict, model: ModelAPI, params, batch_arrays, key):
         metrics["train/ctc_loss"] = ctc
         metrics["train/kl_loss"] = kl
     else:
-        main_loss = ctc_loss(log_probs, out_lens, y, y_lens, reduction="mean")
+        main_loss = ctc_loss(log_probs, out_lens, y, y_lens, reduction="mean",
+                             use_kernel=ck)
 
     if inter_log_probs is not None:
         # With label smoothing off, the reference's loss_ctc already reduced
@@ -182,11 +189,13 @@ def _loss_and_metrics(args: dict, model: ModelAPI, params, batch_arrays, key):
         # whether per-seq losses are length-normalized first.
         if label_smoothing > 0:
             inter = jnp.mean(
-                ctc_loss(inter_log_probs, out_lens, y, y_lens, reduction="none")
+                ctc_loss(inter_log_probs, out_lens, y, y_lens,
+                         reduction="none", use_kernel=ck)
             )
         else:
             inter = ctc_loss(
-                inter_log_probs, out_lens, y, y_lens, reduction="mean"
+                inter_log_probs, out_lens, y, y_lens, reduction="mean",
+                use_kernel=ck,
             )
         w = args.get("interctc_weight", 0.3)
         loss = (1.0 - w) * main_loss + w * inter
@@ -417,6 +426,9 @@ def train_model(args: dict) -> dict:
     try:
         return _train_model_impl(args, preempt_requested)
     finally:
+        from ..parallel.kernel_mesh import clear_kernel_mesh
+
+        clear_kernel_mesh()
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
 
@@ -494,6 +506,13 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
     n_data = max(d for d in range(1, n_data + 1) if batch_size % d == 0)
     mesh = make_mesh(n_data=n_data, n_model=n_model,
                      devices=devices[: n_data * n_model])
+    # Register the mesh so the Pallas fast paths stay live multi-device:
+    # the kernel call sites (models/, ops/ctc.py) shard_map over it instead
+    # of falling back to the XLA twins (parallel/kernel_mesh.py).
+    # train_model clears the registration on exit.
+    from ..parallel.kernel_mesh import set_kernel_mesh
+
+    set_kernel_mesh(mesh)
     b_shard = batch_sharding(mesh)
     r_shard = replicated_sharding(mesh)
     if n_model > 1:

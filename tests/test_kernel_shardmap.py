@@ -1,0 +1,242 @@
+"""shard_map-wrapped Pallas kernel paths on the 8-virtual-device CPU mesh.
+
+Mosaic custom calls have no GSPMD partitioning rule, so multi-device runs
+route the Pallas kernels through fully-manual ``shard_map`` regions
+(parallel/kernel_mesh.py). These tests pin, per kernel, that the wrapped
+call matches its XLA twin in BOTH forward values and gradients — the
+gradient side is the risky one: weights enter the manual region unmapped
+(``P()``) and rely on shard_map's transpose psum, which is only correct
+because the wrap is gated to meshes whose mapped axes cover all devices.
+
+Reference behavior being scaled out: the torch trainer's single-GPU GRU
+step (/root/reference/src/neural_decoder/neural_decoder_trainer.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from neural_speech_decoder_tpu.parallel.kernel_mesh import (
+    kernel_batch_shards,
+    kernel_mesh,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.device_count() < 4, reason="needs the 8-virtual-device CPU mesh"
+)
+
+
+def _data_mesh(n=4):
+    return Mesh(np.array(jax.devices()[:n]).reshape(n, 1), ("data", "model"))
+
+
+def _tp_mesh():
+    return Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("data", "model"))
+
+
+# ---------------------------------------------------------------- GRU scan
+
+
+def _gru_case(seed=0, l=5, d=2, b=32, h=128):
+    rng = np.random.default_rng(seed)
+    xp = jnp.asarray(rng.standard_normal((l, d, b, 3 * h)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((d, h, 3 * h)).astype(np.float32) * 0.2)
+    bb = jnp.asarray(rng.standard_normal((d, 3 * h)).astype(np.float32) * 0.1)
+    return xp, w, bb
+
+
+def _flip_d1(x):
+    if x.shape[1] == 2:
+        return x.at[:, 1].set(jnp.flip(x[:, 1], axis=0))
+    return x
+
+
+def test_gru_scan_sharded_matches_oracle():
+    from neural_speech_decoder_tpu.models.gru import (
+        _gru_layer,
+        _gru_sequence_sharded,
+    )
+
+    xp, w, bb = _gru_case()
+    h0 = jnp.zeros((2, xp.shape[2], w.shape[1]), xp.dtype)
+    ref = _flip_d1(_gru_layer(_flip_d1(xp), w, bb, h0))
+    cot = jnp.asarray(
+        np.random.default_rng(1).standard_normal(ref.shape).astype(np.float32)
+    )
+
+    def loss_ref(xp, w, bb):
+        return jnp.sum(_flip_d1(_gru_layer(_flip_d1(xp), w, bb, h0)) * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(xp, w, bb)
+    with kernel_mesh(_data_mesh()):
+        out = _gru_sequence_sharded(xp, w, bb)
+        g = jax.grad(
+            lambda xp, w, bb: jnp.sum(_gru_sequence_sharded(xp, w, bb) * cot),
+            argnums=(0, 1, 2),
+        )(xp, w, bb)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    # w/bb grads are the unmapped-input psum path — the part full-manual
+    # check_vma=False gets wrong if compute were replicated on any axis.
+    for a, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_gru_scan_falls_back_off_mesh():
+    """On a TP mesh (model axis > 1) the batch-only kernels must gate off."""
+    with kernel_mesh(_tp_mesh()):
+        assert kernel_batch_shards(32, tile=16) is None
+    with kernel_mesh(_data_mesh()):
+        assert kernel_batch_shards(32, tile=8) == 4
+        assert kernel_batch_shards(30, tile=8) is None  # uneven split
+    assert kernel_batch_shards(32, tile=8) is None  # no mesh registered
+    assert kernel_batch_shards(32, tile=8, n_devices=1) == 1
+
+
+# ------------------------------------------------------------ CTC kernel
+
+
+def test_ctc_kernel_sharded_matches_optax():
+    from neural_speech_decoder_tpu.ops.ctc import ctc_loss
+
+    rng = np.random.default_rng(2)
+    b, t, u, k = 8, 24, 6, 12
+    logits = jnp.asarray(rng.standard_normal((b, t, k)).astype(np.float32))
+    log_probs = jax.nn.log_softmax(logits, axis=-1)
+    in_lens = jnp.asarray(rng.integers(u + 3, t + 1, size=b), jnp.int32)
+    labels = jnp.asarray(rng.integers(1, k, size=(b, u)), jnp.int32)
+    lab_lens = jnp.asarray(rng.integers(1, u + 1, size=b), jnp.int32)
+
+    args = (log_probs, in_lens, labels, lab_lens)
+    ref = ctc_loss(*args, reduction="none", use_kernel=False)
+    g_ref = jax.grad(
+        lambda lp: jnp.sum(ctc_loss(lp, *args[1:], reduction="none",
+                                    use_kernel=False))
+    )(log_probs)
+    with kernel_mesh(_data_mesh()):
+        ours = ctc_loss(*args, reduction="none", use_kernel=True)
+        # jit matches production (the trainer's loss runs inside the
+        # jitted step); EAGER grad-of-shard_map trips a JAX 0.9
+        # linearization bug on this kernel's int-typed residual
+        # forwarding ("Unexpected XLA sharding override" assert).
+        g = jax.jit(jax.grad(
+            lambda lp: jnp.sum(ctc_loss(lp, *args[1:], reduction="none",
+                                        use_kernel=True))
+        ))(log_probs)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+# ------------------------------------------------------- fused attention
+
+
+def _attn_case(seed=3, b=4, h=4, t=64, dh=128):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(
+        rng.standard_normal((b, h, t, dh)).astype(np.float32) * 0.1
+    )
+    lens = jnp.asarray(rng.integers(t // 2, t + 1, size=b), jnp.int32)
+    return mk(), mk(), mk(), lens
+
+
+@pytest.mark.parametrize("head_tp", [False, True])
+def test_fused_attention_sharded_matches_reference(head_tp):
+    from neural_speech_decoder_tpu.models.conformer import (
+        ConformerConfig,
+        _fused_mhsa_sharded,
+        _use_fused_attention,
+    )
+    from neural_speech_decoder_tpu.ops.pallas.attention_kernel import (
+        mhsa_reference,
+    )
+
+    cfg = ConformerConfig(
+        latent_dim=512,
+        num_heads=4,
+        qkv_interleaved=head_tp,
+        fused_attention="force",
+    )
+    q, k, v, lens = _attn_case()
+    mesh = _tp_mesh() if head_tp else _data_mesh()
+    ref = mhsa_reference(q, k, v, lens)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(mhsa_reference(q, k, v, lens) ** 2),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    with kernel_mesh(mesh):
+        assert _use_fused_attention(cfg, q.shape[2], q.shape[0])
+        out = _fused_mhsa_sharded(
+            cfg, q, k, v, lens, None, dropout_rate=0.0, train=False
+        )
+        g = jax.grad(
+            lambda q, k, v: jnp.sum(
+                _fused_mhsa_sharded(
+                    cfg, q, k, v, lens, None, dropout_rate=0.0, train=False
+                )
+                ** 2
+            ),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+    for a, b_ in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_fused_attention_gate_multichip():
+    """Auto-gate: head-replicated configs need a batch-only mesh; the
+    interleaved TP layout accepts batch x model when heads split evenly."""
+    import neural_speech_decoder_tpu.models.conformer as cm
+
+    bf16 = ConformerKw = dict(compute_dtype=jnp.bfloat16)
+    cfg_rep = cm.ConformerConfig(latent_dim=512, num_heads=4, **bf16)
+    cfg_tp = cm.ConformerConfig(
+        latent_dim=512, num_heads=4, qkv_interleaved=True, **ConformerKw
+    )
+    # pretend we're on TPU so only the mesh logic is under test
+    real_backend = cm.jax.default_backend
+    cm.jax.default_backend = lambda: "tpu"
+    try:
+        with kernel_mesh(_tp_mesh()):
+            assert cm._use_fused_attention(cfg_rep, 64, 4) is False
+            assert cm._use_fused_attention(cfg_tp, 64, 4) is True
+            # heads must split evenly over the model axis
+            cfg_odd = cm.ConformerConfig(
+                latent_dim=384, num_heads=3, qkv_interleaved=True, **bf16
+            )
+            assert cm._use_fused_attention(cfg_odd, 64, 4) is False
+        with kernel_mesh(_data_mesh()):
+            assert cm._use_fused_attention(cfg_rep, 64, 4) is True
+            # batch must split evenly over the data axis
+            assert cm._use_fused_attention(cfg_rep, 64, 6) is False
+        assert cm._use_fused_attention(cfg_rep, 64, 4) is False  # no mesh
+    finally:
+        cm.jax.default_backend = real_backend
+
+
+# ------------------------------------------------------ frontend kernel
+
+
+def test_frontend_kernel_sharded_matches_single():
+    from neural_speech_decoder_tpu.models.gru import _fused_frontend_sharded
+    from neural_speech_decoder_tpu.ops.pallas.frontend_kernel import (
+        fused_frontend,
+    )
+
+    rng = np.random.default_rng(4)
+    b, t, c, days = 8, 40, 128, 3
+    x = jnp.asarray(rng.standard_normal((b, t, c)).astype(np.float32))
+    w = jnp.asarray(
+        np.stack([np.eye(c, dtype=np.float32) for _ in range(days)])
+        + rng.standard_normal((days, c, c)).astype(np.float32) * 0.02
+    )
+    bias = jnp.asarray(rng.standard_normal((days, c)).astype(np.float32) * 0.1)
+    idx = jnp.asarray(rng.integers(0, days, size=b), jnp.int32)
+
+    ref = fused_frontend(x, w, bias, idx, kernel_size=20, sigma=2.0,
+                         interpret=True)
+    with kernel_mesh(_data_mesh()):
+        out = _fused_frontend_sharded(x, w, bias, idx, kernel_size=20,
+                                      sigma=2.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

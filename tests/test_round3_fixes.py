@@ -87,9 +87,9 @@ def test_fused_attention_gate_rejects_long_sequences(monkeypatch):
     monkeypatch.setattr(cm.jax, "device_count", lambda: 1)
     cfg = cm.ConformerConfig(compute_dtype=jnp.bfloat16)
     assert (cfg.latent_dim // cfg.num_heads) % 128 == 0
-    assert cm._use_fused_attention(cfg, 320) is True
+    assert cm._use_fused_attention(cfg, 320, 64) is True
     # [Tp, Tp] f32 scores no longer fit scoped VMEM → einsum fallback
-    assert cm._use_fused_attention(cfg, 4096) is False
+    assert cm._use_fused_attention(cfg, 4096, 64) is False
 
 
 def test_preempted_summary_is_rankable():
