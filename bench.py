@@ -18,6 +18,14 @@ metric and carries the Conformer numbers as extra keys:
   {"metric": "train_seq_per_s", "value": N, "unit": "seq/s",
    "vs_baseline": R, "conformer_seq_per_s": M, "conformer_vs_baseline": S}
 
+``--rescorer`` adds the reference-scale LLM leg — OPT-6.7B **int8**,
+the reference's own 8-bit setting (eval_competition.py:84-86), via
+scripts/bench_rescore_6b.py in a subprocess — and embeds
+``rescore_6b_sent_per_s`` in the final line. int8 (6.7 GB) rather than
+bf16 (13.3 GB): the shared axon chip often has a co-tenant holding a few
+GB, and the bf16 build only fits a free 16 GB chip (457.5 sent/s when it
+does — BASELINE.md).
+
 ``vs_baseline`` denominators are derived A100 estimates for the reference
 PyTorch implementation (it publishes no numbers); full accounting +
 sensitivity bands in BASELINE.md §"A100 baseline derivation":
@@ -137,6 +145,35 @@ CONFORMER_ARGS = {
 }
 
 
+def bench_rescorer() -> dict | None:
+    """Opt-in leg (``--rescorer``): reference-scale OPT-6.7B int8 rescoring
+    (the reference's 8-bit setting) on this chip via
+    scripts/bench_rescore_6b.py in a subprocess (own process = its weights
+    can't crowd the training benches' HBM). Retries once on its own (so a
+    tunnel drop here never re-runs the training legs); returns the
+    script's JSON result line, or None after two failures (diagnostics go
+    to stderr)."""
+    import subprocess
+
+    for attempt in (1, 2):
+        try:
+            out = subprocess.run(
+                [sys.executable, "scripts/bench_rescore_6b.py",
+                 "--size", "6.7b", "--dtype", "int8"],
+                capture_output=True, text=True, timeout=1800, check=True,
+            ).stdout
+            return json.loads(out.strip().splitlines()[-1])
+        except Exception as e:
+            stderr = getattr(e, "stderr", "") or ""
+            print(
+                f"rescorer leg attempt {attempt} failed "
+                f"({type(e).__name__}); stderr tail:\n{stderr[-2000:]}",
+                file=sys.stderr,
+            )
+            time.sleep(30)
+    return None
+
+
 def main() -> None:
     # GRU (the headline) runs and prints FIRST so a tunnel stall during
     # the Conformer leg still leaves a parseable metric as the last JSON
@@ -164,6 +201,14 @@ def main() -> None:
         ),
         flush=True,
     )
+    extra = {}
+    if "--rescorer" in sys.argv:
+        r = bench_rescorer()
+        if r is not None:
+            print(json.dumps(r), flush=True)
+            extra = {"rescore_6b_sent_per_s": r["value"]}
+            if r.get("peak_hbm_gb") is not None:  # absent via the tunnel
+                extra["rescore_6b_peak_hbm_gb"] = r["peak_hbm_gb"]
     print(
         json.dumps(
             {
@@ -172,6 +217,7 @@ def main() -> None:
                 "conformer_vs_baseline": round(
                     conf_seq_s / A100_CONFORMER_BASELINE_SEQ_PER_S, 3
                 ),
+                **extra,
             }
         )
     )

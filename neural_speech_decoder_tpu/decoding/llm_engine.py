@@ -535,15 +535,33 @@ def synth_params_on_device(spec: EngineSpec, seed: int = 0,
         name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
 
         def make(i=i, name=name, shape=leaf.shape, dt=leaf.dtype):
-            key = jax.random.fold_in(jax.random.key(seed), i)
-            if dt == jnp.int8:
-                return jax.random.randint(key, shape, -127, 128, jnp.int32
-                                          ).astype(jnp.int8)
+            # Fused counter-hash generation (ops/hashrng.py): hash-of-iota
+            # → Box-Muller, all elementwise, so XLA emits ONE kernel
+            # writing only the final-dtype leaf. jax.random.normal would
+            # materialize an f32 temporary at 2x the bf16 leaf size —
+            # +8.6 GB transient on the 4.3 GB FFN leaf, which busts HBM
+            # when synthesizing a 13.3 GB model on a 16 GB chip.
+            from ..ops.hashrng import uniform2d
+
             if name.endswith("_s"):  # int8 scale: σ=0.02 → amax/127
                 return jnp.full(shape, 4 * 0.02 / 127.0, dt)
-            return (
-                jax.random.normal(key, shape, jnp.float32) * 0.02
-            ).astype(dt)
+            rows = (
+                int(np.prod(shape[:-1], dtype=np.int64))
+                if len(shape) > 1 else 1
+            )
+            cols = shape[-1] if shape else 1
+            s = jnp.int32((seed * 0x9E37 + i) & 0x7FFFFFFF)
+            if dt == jnp.int8:
+                u = uniform2d(s, jnp.int32(0), (rows, cols))
+                return (
+                    jnp.floor(u * 255.0) - 127.0
+                ).astype(jnp.int8).reshape(shape)
+            u1 = uniform2d(s, jnp.int32(1), (rows, cols))
+            u2 = uniform2d(s, jnp.int32(2), (rows, cols))
+            n = jnp.sqrt(-2.0 * jnp.log1p(-u1)) * jnp.cos(
+                (2.0 * np.pi) * u2
+            )
+            return (n * 0.02).astype(dt).reshape(shape)
 
         fn = jax.jit(make, out_shardings=sh) if sh is not None else jax.jit(
             make

@@ -311,7 +311,12 @@ def _fused_mhsa_sharded(cfg, q, k, v, lens, key, *, dropout_rate, train):
     shards. The region is fully manual with ``check_vma=False`` (JAX
     0.9: partial-manual requires vma metadata Pallas out-shapes don't
     carry), so the mapped axes must cover all mesh devices — enforced by
-    ``_use_fused_attention`` and re-checked here for the "force" path."""
+    ``_use_fused_attention`` and re-checked here for the "force" path.
+    Returns **None** on a multi-device run whose mesh doesn't map cleanly
+    (e.g. a forced run on a TP mesh with replicated heads, or no mesh
+    registered at all) — the caller falls back to the einsum twin, which
+    GSPMD partitions cleanly; a bare replicated kernel would be strictly
+    worse."""
     from functools import partial
 
     from ..ops.pallas.attention_kernel import fused_mhsa
@@ -323,9 +328,11 @@ def _fused_mhsa_sharded(cfg, q, k, v, lens, key, *, dropout_rate, train):
         fused_mhsa, dropout_rate=dropout_rate, train=train,
         interpret=interpret, left_context=left,
     )
-    km = get_kernel_mesh()
-    if not (jax.device_count() > 1 and km is not None and km.n_devices > 1):
+    if jax.device_count() <= 1:
         return call(q, k, v, lens, key)
+    km = get_kernel_mesh()
+    if km is None or km.n_devices <= 1:
+        return None
 
     from jax.sharding import PartitionSpec as P
 
@@ -336,10 +343,7 @@ def _fused_mhsa_sharded(cfg, q, k, v, lens, key, *, dropout_rate, train):
         or q.shape[0] % km.batch_shards != 0
         or (head_tp and q.shape[1] % km.model_shards != 0)
     ):
-        # Mesh doesn't map cleanly (e.g. a forced run on a TP mesh with
-        # replicated heads): run the kernel un-shard_mapped — XLA
-        # all-gathers + replicates it, which is correct but slow.
-        return call(q, k, v, lens, key)
+        return None
     qkv_spec = P(km.batch_axis, km.model_axis if head_tp else None)
     if lens is None:
         lens = jnp.full((q.shape[0],), q.shape[2], jnp.int32)
@@ -395,13 +399,15 @@ def _attention(p, cfg, x, pad_mask, out_lens, key, train):
             return z.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
+    out = None
     if _use_fused_attention(cfg, t, b):
+        # None = unmappable multi-device mesh → einsum twin below.
         out = _fused_mhsa_sharded(
             cfg, q, k, v, out_lens, key,
             dropout_rate=dropout if key is not None else 0.0,
             train=train and key is not None,
         )
-    else:
+    if out is None:
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / math.sqrt(dh)

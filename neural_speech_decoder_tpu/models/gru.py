@@ -38,7 +38,7 @@ from ..ops.day_affine import day_affine, init_day_affine
 from ..ops.gaussian import gaussian_smooth
 from ..ops.pallas.gru_scan import gru_sequence
 from ..ops.unfold import unfold_matmul, unfold_output_length
-from ..parallel.kernel_mesh import get_kernel_mesh, kernel_batch_shards
+from ..parallel.kernel_mesh import batch_mappable_mesh, kernel_batch_shards
 from .common import orthogonal, torch_linear_init, uniform_bound, xavier_uniform
 
 Params = dict[str, Any]
@@ -61,21 +61,28 @@ def _pallas_scan_gate(backend: str, hidden: int, batch: int,
     call has no GSPMD partitioning rule, so XLA would all-gather the
     sharded operands and run the kernel replicated on every chip."""
     shards = kernel_batch_shards(batch, tile=16, n_devices=n_devices)
-    if shards is None:
-        return False
-    ok = hidden % 128 == 0 and batch % 16 == 0
+    tiled = hidden % 128 == 0 and batch % 16 == 0
+    ok = shards is not None and tiled
     if backend == "tpu" and not ok:
         global _warned_pallas_fallback
         if not _warned_pallas_fallback:
             _warned_pallas_fallback = True
             import warnings
 
-            warnings.warn(
+            why = (
                 f"GRU shapes (hidden={hidden}, batch={batch}) are not "
                 f"tile-aligned for the Pallas scan kernel (needs hidden "
-                f"% 128 == 0 and batch % 16 == 0); falling back to the "
-                f"~35% slower lax.scan path. Pad the batch or hidden size "
-                f"to recover full throughput.",
+                f"% 128 == 0 and batch % 16 == 0); pad the batch or "
+                f"hidden size to recover full throughput."
+                if not tiled
+                else f"multi-device run ({n_devices} devices) has no "
+                f"registered kernel mesh whose batch axis covers all "
+                f"devices with batch={batch} splitting into %16 shards "
+                f"(parallel/kernel_mesh.py); the Pallas GRU scan cannot "
+                f"be shard_mapped."
+            )
+            warnings.warn(
+                f"{why} Falling back to the ~35% slower lax.scan path.",
                 stacklevel=3,
             )
     return backend == "tpu" and ok
@@ -276,22 +283,20 @@ def _gru_sequence_sharded(xp, w_hh, b_hh):
     metadata Pallas out-shapes don't carry), so it is only taken when the
     batch axis covers ALL mesh devices — any 'model' axis must be size 1,
     else the unmapped-weight transpose would double-count over the
-    replicated axis. Tensor-parallel runs fall back to the XLA twin
-    (``kernel_batch_shards`` enforces this for the auto-gate; the guard
-    here covers the forced ``use_pallas=True`` path too). Off-TPU
+    replicated axis. On a multi-device run whose mesh can't map the batch
+    that way (e.g. tensor parallelism, or forced ``use_pallas=True`` with
+    no registered mesh) this returns **None** and the caller falls back
+    to the XLA twin — running the bare kernel there would make GSPMD
+    all-gather the batch and replicate the kernel on every chip. Off-TPU
     backends run the kernel in the Pallas interpreter (tests)."""
     from functools import partial
 
     interpret = jax.default_backend() != "tpu"
-    km = get_kernel_mesh()
     b = xp.shape[2]
-    if (
-        jax.device_count() > 1
-        and km is not None
-        and km.n_devices > 1
-        and km.batch_shards == km.n_devices
-        and b % km.batch_shards == 0
-    ):
+    if jax.device_count() > 1:
+        km = batch_mappable_mesh(b)
+        if km is None:
+            return None
         from jax.sharding import PartitionSpec as P
 
         spec = P(None, None, km.batch_axis, None)
@@ -308,7 +313,9 @@ def _gru_sequence_sharded(xp, w_hh, b_hh):
 def _fused_frontend_sharded(x, day_w, day_b, day_idx, *, kernel_size, sigma):
     """Inference frontend kernel with the same shard_map wrapping rule as
     ``_gru_sequence_sharded`` (batch axis mapped over a batch-only mesh,
-    weights replicated, fully-manual region with ``check_vma=False``)."""
+    weights replicated, fully-manual region with ``check_vma=False``).
+    Returns None on a multi-device run whose mesh can't map the batch —
+    the caller falls back to the unfused XLA frontend chain."""
     from ..ops.pallas.frontend_kernel import fused_frontend
     from functools import partial
 
@@ -317,14 +324,10 @@ def _fused_frontend_sharded(x, day_w, day_b, day_idx, *, kernel_size, sigma):
         fused_frontend, kernel_size=kernel_size, sigma=sigma,
         interpret=interpret,
     )
-    km = get_kernel_mesh()
-    if (
-        jax.device_count() > 1
-        and km is not None
-        and km.n_devices > 1
-        and km.batch_shards == km.n_devices
-        and x.shape[0] % km.batch_shards == 0
-    ):
+    if jax.device_count() > 1:
+        km = batch_mappable_mesh(x.shape[0])
+        if km is None:
+            return None
         from jax.sharding import PartitionSpec as P
 
         b = P(km.batch_axis)
@@ -387,11 +390,13 @@ def gru_encode(
             use_pallas = _pallas_scan_gate(
                 jax.default_backend(), h, b, jax.device_count()
             )
+        ys = None
         if use_pallas:
             # Direction 1's time reversal happens inside the kernel's block
-            # index maps — no flip copies on either side.
+            # index maps — no flip copies on either side. None = unmappable
+            # multi-device mesh → XLA twin below.
             ys = _gru_sequence_sharded(xp, lp["w_hh"], lp["b_hh"])  # [L,D,B,H]
-        else:
+        if ys is None:
             if d == 2:
                 xp = xp.at[:, 1].set(jnp.flip(xp[:, 1], axis=0))
             h0 = jnp.zeros((d, b, h), xp.dtype)
@@ -425,13 +430,15 @@ def gru_forward(
             jax.default_backend(), cfg.hidden_dim, x.shape[0],
             jax.device_count(),
         )
+    fused_front = None
     if (use_pallas and not train and cfg.neural_dim % 128 == 0
             and cfg.gaussian_smooth_width > 0):
         # (sigma<=0 keeps the XLA chain: gaussian_smooth is a no-op there,
         # while Gaussian taps would be 0/0 = NaN)
         # Inference: one fused kernel pass (smooth+affine+softsign). The
-        # training path keeps the XLA chain for its autodiff.
-        x = _fused_frontend_sharded(
+        # training path keeps the XLA chain for its autodiff. None =
+        # unmappable multi-device mesh → unfused XLA chain below.
+        fused_front = _fused_frontend_sharded(
             x,
             params["day"]["weight"],
             params["day"]["bias"],
@@ -439,6 +446,8 @@ def gru_forward(
             kernel_size=cfg.gaussian_kernel_size,
             sigma=cfg.gaussian_smooth_width,
         )
+    if fused_front is not None:
+        x = fused_front
     else:
         x = gaussian_smooth(
             x, cfg.gaussian_kernel_size, cfg.gaussian_smooth_width

@@ -48,22 +48,21 @@ def _ctc_kernel_sharded(log_probs, input_lens, labels, label_lens):
     metadata Pallas out-shapes don't carry) with every operand mapped
     over the batch axis — each device computes the alpha/beta recursions
     for its local batch shard, and the transpose needs no psum since all
-    differentiable inputs are batch-mapped. Off-TPU backends use the
-    Pallas interpreter (tests)."""
+    differentiable inputs are batch-mapped. Returns None on a multi-device
+    run whose mesh can't map the batch (e.g. tensor parallelism) — the
+    caller falls back to the optax path, which shards cleanly under
+    GSPMD; a bare replicated kernel would be strictly worse. Off-TPU
+    backends use the Pallas interpreter (tests)."""
     from functools import partial
 
     from .pallas.ctc_kernel import ctc_loss_tpu
-    from ..parallel.kernel_mesh import get_kernel_mesh
+    from ..parallel.kernel_mesh import batch_mappable_mesh
 
     fn = partial(ctc_loss_tpu, interpret=jax.default_backend() != "tpu")
-    km = get_kernel_mesh()
-    if (
-        jax.device_count() > 1
-        and km is not None
-        and km.n_devices > 1
-        and km.batch_shards == km.n_devices
-        and log_probs.shape[0] % km.batch_shards == 0
-    ):
+    if jax.device_count() > 1:
+        km = batch_mappable_mesh(log_probs.shape[0])
+        if km is None:
+            return None
         from jax.sharding import PartitionSpec as P
 
         b = P(km.batch_axis)
@@ -128,14 +127,31 @@ def ctc_loss(
         )
     else:
         use_tpu_kernel = use_kernel and kernel_safe
+        if (
+            use_tpu_kernel
+            and jax.default_backend() == "tpu"
+            and log_probs.shape[0] % 8 != 0
+        ):
+            import warnings
+
+            warnings.warn(
+                f"use_kernel=True forces the Pallas CTC kernel with batch "
+                f"{log_probs.shape[0]} not a multiple of 8 — this will "
+                f"fail Mosaic lowering on TPU (the auto-gate would have "
+                f"used the optax path).",
+                stacklevel=2,
+            )
     if use_tpu_kernel:
         # Pallas forward-backward kernels: optax's lax.scan pays ~20us of
         # loop overhead per frame for ~0.1us of math (see ops/pallas/
         # ctc_kernel.py); numerics parity is pinned by test_pallas_ctc.
+        # None = unmappable multi-device mesh → optax fallback below.
         per_seq = _ctc_kernel_sharded(
             log_probs, input_lens, labels, label_lens
         )
-    else:
+        if per_seq is None:
+            use_tpu_kernel = False
+    if not use_tpu_kernel:
         logit_pad = 1.0 - _length_mask(input_lens, t).astype(log_probs.dtype)
         label_pad = 1.0 - _length_mask(label_lens, u).astype(log_probs.dtype)
         per_seq = optax.ctc_loss(

@@ -92,6 +92,33 @@ def clear_kernel_mesh() -> None:
     _current = None
 
 
+def restore_kernel_mesh(prev: KernelMesh | None) -> None:
+    """Reinstate a registration previously returned by ``set_kernel_mesh``
+    / ``get_kernel_mesh`` (so scoped users can nest without clobbering an
+    outer caller's mesh)."""
+    global _current
+    _current = prev
+
+
+def batch_mappable_mesh(batch: int, *, tile: int = 1) -> KernelMesh | None:
+    """The registered mesh if a batch-mapped kernel can shard_map over it,
+    else None.
+
+    This is the single gating predicate for the multi-device kernel
+    wrappers (models/gru.py, models/conformer.py, ops/ctc.py): the mesh's
+    batch axis must cover ALL devices (fully-manual shard_map — see module
+    docstring) and ``batch`` must split into per-shard multiples of
+    ``tile``. Callers that get None on a multi-device run fall back to
+    their XLA twin; single-device callers shouldn't reach here."""
+    km = get_kernel_mesh()
+    if km is None or km.n_devices <= 1 or km.batch_shards != km.n_devices:
+        return None
+    s = km.batch_shards
+    if batch % s != 0 or (batch // s) == 0 or (batch // s) % tile != 0:
+        return None
+    return km
+
+
 def get_kernel_mesh() -> KernelMesh | None:
     return _current
 
@@ -103,8 +130,7 @@ def kernel_mesh(mesh: Mesh | None, **kwargs):
     try:
         yield
     finally:
-        global _current
-        _current = prev
+        restore_kernel_mesh(prev)
 
 
 def kernel_batch_shards(
@@ -127,10 +153,5 @@ def kernel_batch_shards(
         n_devices = jax.device_count()
     if n_devices <= 1:
         return 1
-    km = get_kernel_mesh()
-    if km is None or km.batch_shards != km.n_devices:
-        return None
-    s = km.batch_shards
-    if batch % s != 0 or (batch // s) % tile != 0 or batch // s == 0:
-        return None
-    return s
+    km = batch_mappable_mesh(batch, tile=tile)
+    return None if km is None else km.batch_shards

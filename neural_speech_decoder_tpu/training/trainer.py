@@ -423,12 +423,16 @@ def train_model(args: dict) -> dict:
                 prev_handlers[sig] = signal.signal(sig, _request_stop)
             except (ValueError, OSError):  # pragma: no cover
                 pass
+    from ..parallel.kernel_mesh import get_kernel_mesh, restore_kernel_mesh
+
+    # _train_model_impl registers its mesh as the ambient kernel mesh;
+    # restore whatever registration the caller had (e.g. an open
+    # kernel_mesh() context) rather than clearing outright.
+    prev_km = get_kernel_mesh()
     try:
         return _train_model_impl(args, preempt_requested)
     finally:
-        from ..parallel.kernel_mesh import clear_kernel_mesh
-
-        clear_kernel_mesh()
+        restore_kernel_mesh(prev_km)
         for sig, h in prev_handlers.items():
             signal.signal(sig, h)
 
@@ -509,7 +513,7 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
     # Register the mesh so the Pallas fast paths stay live multi-device:
     # the kernel call sites (models/, ops/ctc.py) shard_map over it instead
     # of falling back to the XLA twins (parallel/kernel_mesh.py).
-    # train_model clears the registration on exit.
+    # train_model restores the caller's previous registration on exit.
     from ..parallel.kernel_mesh import set_kernel_mesh
 
     set_kernel_mesh(mesh)

@@ -95,6 +95,66 @@ def test_gru_scan_falls_back_off_mesh():
     assert kernel_batch_shards(32, tile=8, n_devices=1) == 1
 
 
+def test_forced_kernels_route_to_xla_twin_on_unmappable_mesh():
+    """Forced kernel flags on a mesh the wrappers can't map (TP mesh for
+    batch-only kernels, or none registered) must fall back to the XLA
+    twins — NOT run the bare kernel, which GSPMD would all-gather and
+    replicate on every chip."""
+    from neural_speech_decoder_tpu.models.gru import (
+        _fused_frontend_sharded,
+        _gru_sequence_sharded,
+    )
+    from neural_speech_decoder_tpu.ops.ctc import _ctc_kernel_sharded, ctc_loss
+
+    xp, w, bb = _gru_case(b=8)
+    with kernel_mesh(_tp_mesh()):
+        assert _gru_sequence_sharded(xp, w, bb) is None
+        assert (
+            _fused_frontend_sharded(
+                jnp.zeros((8, 20, 128)), jnp.zeros((2, 128, 128)),
+                jnp.zeros((2, 128)), jnp.zeros((8,), jnp.int32),
+                kernel_size=20, sigma=2.0,
+            )
+            is None
+        )
+        assert (
+            _ctc_kernel_sharded(
+                jnp.zeros((8, 12, 5)), jnp.full((8,), 12, jnp.int32),
+                jnp.ones((8, 3), jnp.int32), jnp.full((8,), 3, jnp.int32),
+            )
+            is None
+        )
+        # ctc_loss(use_kernel=True) transparently lands on the optax path
+        rng = np.random.default_rng(5)
+        lp = jax.nn.log_softmax(
+            jnp.asarray(rng.standard_normal((8, 12, 5)).astype(np.float32))
+        )
+        il = jnp.full((8,), 12, jnp.int32)
+        lab = jnp.asarray(rng.integers(1, 5, (8, 3)), jnp.int32)
+        ll = jnp.full((8,), 3, jnp.int32)
+        forced = ctc_loss(lp, il, lab, ll, reduction="none", use_kernel=True)
+        optax_ref = ctc_loss(lp, il, lab, ll, reduction="none",
+                             use_kernel=False)
+        np.testing.assert_allclose(
+            np.asarray(forced), np.asarray(optax_ref), atol=1e-6
+        )
+    # no mesh registered at all: same story
+    assert _gru_sequence_sharded(xp, w, bb) is None
+
+
+def test_pallas_gate_warns_on_multidevice_fallback(monkeypatch):
+    """A multi-device TPU run that loses the kernel path (no mappable
+    mesh) must warn, just like a single-chip tile misalignment."""
+    import neural_speech_decoder_tpu.models.gru as gm
+
+    monkeypatch.setattr(gm, "_warned_pallas_fallback", False)
+    with pytest.warns(UserWarning, match="kernel mesh"):
+        assert (
+            gm._pallas_scan_gate("tpu", 1024, 64, jax.device_count())
+            is False
+        )
+
+
 # ------------------------------------------------------------ CTC kernel
 
 
@@ -189,10 +249,10 @@ def test_fused_attention_gate_multichip():
     interleaved TP layout accepts batch x model when heads split evenly."""
     import neural_speech_decoder_tpu.models.conformer as cm
 
-    bf16 = ConformerKw = dict(compute_dtype=jnp.bfloat16)
+    bf16 = dict(compute_dtype=jnp.bfloat16)
     cfg_rep = cm.ConformerConfig(latent_dim=512, num_heads=4, **bf16)
     cfg_tp = cm.ConformerConfig(
-        latent_dim=512, num_heads=4, qkv_interleaved=True, **ConformerKw
+        latent_dim=512, num_heads=4, qkv_interleaved=True, **bf16
     )
     # pretend we're on TPU so only the mesh logic is under test
     real_backend = cm.jax.default_backend
