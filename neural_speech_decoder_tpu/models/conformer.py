@@ -68,6 +68,19 @@ class ConformerConfig:
     # "force" = always use the kernel when shapes allow, in interpreter
     # mode off-TPU (multi-device CPU tests).
     fused_attention: bool | str = True
+    # Fused Pallas FF module (LN→lin1→SiLU→dropout→lin2→dropout per batch
+    # row in VMEM, weights grid-resident, custom VJP) — measured-NO-GAIN
+    # experiment, default OFF: isolated it beats the XLA twin (3.97 vs
+    # 4.91 ms fwd+bwd at reference scale) but in the full train step XLA
+    # fuses the FF glue into neighboring ops and the kernel boundary
+    # blocks those fusions (158→168 ms/step B=64; worse at B=128 —
+    # BASELINE.md "Fused-FFN experiment"). Unlike the MHSA kernel there
+    # is no quadratic HBM intermediate to eliminate here. Opt-in True =
+    # auto-gate like fused_attention (multi-device: batch-mapped
+    # shard_map; TP meshes fall back — the FFN weights are sharded
+    # there); "force" = kernel in interpreter mode off-TPU (tests).
+    # See ops/pallas/ffn_kernel.py.
+    fused_ffn: bool | str = False
     # Head-parallel tensor parallelism: when True, in_proj_w/in_proj_b use
     # the per-head-interleaved column order (head, {q,k,v}, dh) instead of
     # torch's ({q,k,v}, head, dh), so sharding the last weight axis over a
@@ -242,13 +255,100 @@ def _drop_path(key, x, prob, train):
     return jnp.where(keep, x / (1.0 - prob), 0.0)
 
 
-def _ff_module(p, x, key, dropout, train):
+def _ff_module(p, x, key, dropout, train, cfg=None):
+    if cfg is not None and _use_fused_ffn(cfg, x.shape[1], x.shape[0]):
+        out = _fused_ffn_sharded(
+            cfg, p, x, key,
+            dropout_rate=dropout if key is not None else 0.0,
+            train=train and key is not None,
+        )
+        if out is not None:
+            return out
     k1, k2 = (jax.random.split(key) if key is not None else (None, None))
     h = _linear(p["lin1"], _layer_norm(p["ln"], x))
     h = jax.nn.silu(h)
     h = _dropout(k1, h, dropout, train)
     h = _linear(p["lin2"], h)
     return _dropout(k2, h, dropout, train)
+
+
+def _use_fused_ffn(cfg: ConformerConfig, t: int, b: int) -> bool:
+    """Gate for the fused FF kernel (ops/pallas/ffn_kernel.py) — same
+    scheme as ``_use_fused_attention``: shape/VMEM gates always apply;
+    "force" runs the kernel in interpreter mode off-TPU (tests); the
+    auto mode requires bf16 on a TPU backend and, multi-device, a
+    batch-mappable registered kernel mesh (TP meshes shard the FFN
+    weights, so they use the einsum twin)."""
+    from ..parallel.kernel_mesh import batch_mappable_mesh
+
+    d, f = cfg.latent_dim, cfg.ff_dim
+    # bwd VMEM: bf16 weights + f32 dW grid-resident buffers + ~4 [T,F]
+    # f32 intermediates per program (see ffn_kernel._vmem_params)
+    vmem_est = 2 * d * f * 2 + 2 * d * f * 4 + 4 * t * f * 4
+    shapes_ok = d % 128 == 0 and f % 128 == 0 and vmem_est <= (100 << 20)
+    if cfg.fused_ffn == "force":
+        return shapes_ok
+    if not (
+        cfg.fused_ffn
+        and shapes_ok
+        and cfg.compute_dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+    ):
+        return False
+    if jax.device_count() == 1:
+        return True
+    return batch_mappable_mesh(b) is not None
+
+
+def _fused_ffn_sharded(cfg, p, x, key, *, dropout_rate, train):
+    """Fused FF kernel with multi-device support (batch-mapped shard_map
+    over the registered kernel mesh; weights replicated — their
+    cotangents psum over the manual axes). Single device calls the
+    kernel directly (interpreter off-TPU, for tests). Returns None when
+    a multi-device mesh doesn't map cleanly — the caller falls back to
+    the einsum twin."""
+    from functools import partial
+
+    from ..ops.pallas.ffn_kernel import fused_ffn
+    from ..parallel.kernel_mesh import batch_mappable_mesh
+
+    interpret = jax.default_backend() != "tpu"
+    call = partial(
+        fused_ffn, dropout_rate=dropout_rate, train=train,
+        interpret=interpret,
+    )
+    args = (
+        p["ln"]["scale"], p["ln"]["bias"],
+        p["lin1"]["w"], p["lin1"]["b"],
+        p["lin2"]["w"], p["lin2"]["b"],
+    )
+    if jax.device_count() <= 1:
+        return call(x, *args, key)
+    km = batch_mappable_mesh(x.shape[0])
+    if km is None:
+        return None
+
+    from jax.sharding import PartitionSpec as P
+
+    dropout_on = train and key is not None and dropout_rate > 0.0
+
+    def inner(x, key, *args):
+        if dropout_on:
+            key = jax.random.fold_in(
+                key, jax.lax.axis_index(km.batch_axis)
+            )
+        return call(x, *args, key)
+
+    if key is None:
+        key = jax.random.key(0)  # unused (dropout_on False)
+    rep = (P(),) * len(args)
+    return jax.shard_map(
+        inner,
+        mesh=km.mesh,
+        in_specs=(P(km.batch_axis), P()) + rep,
+        out_specs=P(km.batch_axis),
+        check_vma=False,
+    )(x, key, *args)
 
 
 def _use_fused_attention(cfg: ConformerConfig, t: int, b: int) -> bool:
@@ -295,15 +395,22 @@ def _use_fused_attention(cfg: ConformerConfig, t: int, b: int) -> bool:
     return km.batch_shards == km.n_devices
 
 
-def _fused_mhsa_sharded(cfg, q, k, v, lens, key, *, dropout_rate, train):
+def _fused_mhsa_sharded(cfg, qkv, lens, key, *, dropout_rate, train):
     """Fused Pallas MHSA with multi-device support.
 
-    Single device: plain ``fused_mhsa`` call (Pallas interpreter off-TPU,
-    for tests). Multi-device with a registered kernel mesh
+    ``qkv`` is the projection output [B, T, 3D] in the layout selected by
+    ``cfg.qkv_interleaved`` — the kernel consumes it directly (BlockSpec
+    column maps) and returns the head-major context [B, T, D]; no
+    head-split transposes exist on this path.
+
+    Single device: plain ``fused_mhsa_qkv`` call (Pallas interpreter
+    off-TPU, for tests). Multi-device with a registered kernel mesh
     (parallel/kernel_mesh.py): the kernel runs inside ``shard_map`` —
     batch over the mesh's batch axis, and, for the ``qkv_interleaved``
-    tensor-parallel layout, heads over the model axis (each 'model' shard
-    attends its local heads collective-free, composing with the
+    tensor-parallel layout, heads over the model axis (the interleaved
+    column order puts whole heads on each 'model' shard, so the local
+    array is itself a valid interleaved qkv with ``H / model_shards``
+    heads — attention runs collective-free, composing with the
     row-parallel out projection exactly like the einsum TP path). The
     in-kernel dropout counter is seeded per (batch, head) *program id*,
     which restarts at 0 on every shard — so the key is folded with the
@@ -319,17 +426,19 @@ def _fused_mhsa_sharded(cfg, q, k, v, lens, key, *, dropout_rate, train):
     worse."""
     from functools import partial
 
-    from ..ops.pallas.attention_kernel import fused_mhsa
+    from ..ops.pallas.attention_kernel import fused_mhsa_qkv
     from ..parallel.kernel_mesh import get_kernel_mesh
 
     interpret = jax.default_backend() != "tpu"
     left = cfg.attn_left_context if cfg.causal else None
     call = partial(
-        fused_mhsa, dropout_rate=dropout_rate, train=train,
+        fused_mhsa_qkv, dropout_rate=dropout_rate, train=train,
         interpret=interpret, left_context=left,
+        interleaved=cfg.qkv_interleaved,
     )
+    b, t, _ = qkv.shape
     if jax.device_count() <= 1:
-        return call(q, k, v, lens, key)
+        return call(qkv, lens, key, num_heads=cfg.num_heads)
     km = get_kernel_mesh()
     if km is None or km.n_devices <= 1:
         return None
@@ -340,16 +449,18 @@ def _fused_mhsa_sharded(cfg, q, k, v, lens, key, *, dropout_rate, train):
     mapped = km.batch_shards * (km.model_shards if head_tp else 1)
     if (
         mapped != km.n_devices
-        or q.shape[0] % km.batch_shards != 0
-        or (head_tp and q.shape[1] % km.model_shards != 0)
+        or b % km.batch_shards != 0
+        or (head_tp and cfg.num_heads % km.model_shards != 0)
     ):
         return None
-    qkv_spec = P(km.batch_axis, km.model_axis if head_tp else None)
+    local_heads = cfg.num_heads // (km.model_shards if head_tp else 1)
+    qkv_spec = P(km.batch_axis, None, km.model_axis if head_tp else None)
+    out_spec = P(km.batch_axis, None, km.model_axis if head_tp else None)
     if lens is None:
-        lens = jnp.full((q.shape[0],), q.shape[2], jnp.int32)
+        lens = jnp.full((b,), t, jnp.int32)
     dropout_on = train and key is not None and dropout_rate > 0.0
 
-    def inner(q, k, v, lens, key):
+    def inner(qkv, lens, key):
         if dropout_on:
             idx = jax.lax.axis_index(km.batch_axis)
             if head_tp:
@@ -357,7 +468,7 @@ def _fused_mhsa_sharded(cfg, q, k, v, lens, key, *, dropout_rate, train):
                     km.model_axis
                 )
             key = jax.random.fold_in(key, idx)
-        return call(q, k, v, lens, key)
+        return call(qkv, lens, key, num_heads=local_heads)
 
     if key is None:
         key = jax.random.key(0)  # unused (dropout_on False); shard_map
@@ -365,10 +476,10 @@ def _fused_mhsa_sharded(cfg, q, k, v, lens, key, *, dropout_rate, train):
     return jax.shard_map(
         inner,
         mesh=km.mesh,
-        in_specs=(qkv_spec, qkv_spec, qkv_spec, P(km.batch_axis), P()),
-        out_specs=qkv_spec,
+        in_specs=(qkv_spec, P(km.batch_axis), P()),
+        out_specs=out_spec,
         check_vma=False,
-    )(q, k, v, lens, key)
+    )(qkv, lens, key)
 
 
 def _attention(p, cfg, x, pad_mask, out_lens, key, train):
@@ -387,27 +498,31 @@ def _attention(p, cfg, x, pad_mask, out_lens, key, train):
                    preferred_element_type=jnp.float32)
         + p["in_proj_b"].astype(jnp.float32)
     ).astype(x.dtype)
-    if cfg.qkv_interleaved:
-        # TP layout (see ConformerConfig.qkv_interleaved): the (divisible)
-        # reshape keeps the 'model'-sharded axis on heads — no resharding.
-        z = qkv.reshape(b, t, num_heads, 3, dh)
-        q, k, v = (z[:, :, :, i].transpose(0, 2, 1, 3) for i in range(3))
-    else:
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-
-        def heads(z):
-            return z.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
-
-        q, k, v = heads(q), heads(k), heads(v)
-    out = None
+    out2d = None
     if _use_fused_attention(cfg, t, b):
-        # None = unmappable multi-device mesh → einsum twin below.
-        out = _fused_mhsa_sharded(
-            cfg, q, k, v, out_lens, key,
+        # The kernel consumes the projection output layout directly and
+        # returns the head-major [B, T, D] context — no head-split
+        # transposes on this path. None = unmappable multi-device mesh →
+        # einsum twin below.
+        out2d = _fused_mhsa_sharded(
+            cfg, qkv, out_lens, key,
             dropout_rate=dropout if key is not None else 0.0,
             train=train and key is not None,
         )
-    if out is None:
+    if out2d is None:
+        if cfg.qkv_interleaved:
+            # TP layout (see ConformerConfig.qkv_interleaved): the
+            # (divisible) reshape keeps the 'model'-sharded axis on heads
+            # — no resharding.
+            z = qkv.reshape(b, t, num_heads, 3, dh)
+            q, k, v = (z[:, :, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        else:
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+
+            def heads(z):
+                return z.reshape(b, t, num_heads, dh).transpose(0, 2, 1, 3)
+
+            q, k, v = heads(q), heads(k), heads(v)
         scores = jnp.einsum(
             "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
         ) / math.sqrt(dh)
@@ -424,8 +539,8 @@ def _attention(p, cfg, x, pad_mask, out_lens, key, train):
             probs = _dropout(key, probs, dropout, train)
         out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
                          preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(b, t, d)
-    return _linear(p["out"], out)
+        out2d = out.transpose(0, 2, 1, 3).reshape(b, t, d)
+    return _linear(p["out"], out2d)
 
 
 def _conv_module(p, x, key, dropout, train, causal=False):
@@ -467,7 +582,8 @@ def _block(p, cfg: ConformerConfig, x, pad_mask, out_lens, key, train):
     else:
         keys = [None] * 8
     x = x + _drop_path(
-        keys[0], 0.5 * _ff_module(p["ff1"], x, keys[1], cfg.dropout, train),
+        keys[0], 0.5 * _ff_module(p["ff1"], x, keys[1], cfg.dropout, train,
+                          cfg),
         cfg.drop_path_prob, train,
     )
     attn = _attention(p["attn"], cfg, x, pad_mask, out_lens, keys[2], train)
@@ -476,7 +592,8 @@ def _block(p, cfg: ConformerConfig, x, pad_mask, out_lens, key, train):
     x = _conv_module(p["conv"], x, keys[5], cfg.dropout, train,
                      causal=cfg.causal)
     x = x + _drop_path(
-        keys[6], 0.5 * _ff_module(p["ff2"], x, keys[7], cfg.dropout, train),
+        keys[6], 0.5 * _ff_module(p["ff2"], x, keys[7], cfg.dropout, train,
+                          cfg),
         cfg.drop_path_prob, train,
     )
     return _layer_norm(p["ln_final"], x)

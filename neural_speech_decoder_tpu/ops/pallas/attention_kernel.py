@@ -9,10 +9,28 @@ attention-prob dropout draws; this kernel keeps the whole (scores →
 key-padding mask → softmax → dropout → @V) pipeline in VMEM per (batch,
 head) program and never writes the [T,T] intermediates to HBM.
 
-Design:
-  * grid over B*H programs; per program the [Tp, dh] q/k/v blocks and the
-    [Tp, Tp] score matrix live entirely in VMEM (Tp ≈ 320 → ~1 MB);
-  * key-padding mask from per-program sequence lengths (SMEM);
+Design (round-3 layout rework):
+  * the kernel consumes the qkv projection's **natural output layout**
+    ``[B, Tp, 3·D]`` directly: the per-(batch, head) program picks its
+    q/k/v ``[Tp, dh]`` column blocks via BlockSpec index maps (the same
+    array is passed three times with different column maps), and writes
+    its context straight into the head-major ``[B, Tp, D]`` output the
+    out-projection consumes. Measured motivation: the former
+    ``[B,T,3D] → 3×[B,H,T,dh]`` head-split transposes cost 2.8 ms per
+    block at reference scale — more than the attention math itself —
+    and the kernel-internal ``kt`` pre-transpose and output
+    back-transpose doubled that. None of those copies exist now; scores
+    contract q·k on dh in-kernel (MXU handles the k-transposed operand
+    natively);
+  * grid ``(B, H)``; per program the [Tp, dh] q/k/v blocks and the
+    [Tp, Tp] score matrix live entirely in VMEM (Tp ≈ 384 → ~1 MB);
+  * both qkv column orders are supported: torch-canonical
+    ``({q,k,v}, head, dh)`` and the per-head-interleaved
+    ``(head, {q,k,v}, dh)`` tensor-parallel layout
+    (``parallel/shardings.py::interleave_attention_params``) — under
+    head-parallel TP each 'model' shard's local columns are whole heads,
+    so the kernel runs unchanged on the shard-local array;
+  * key-padding mask from per-batch sequence lengths (SMEM);
   * softmax statistics in f32; matmuls accumulate in f32 on the MXU;
   * dropout on attention probabilities via an in-kernel counter-based hash
     (murmur3-style over (seed, program, row, col)) — the backward kernel
@@ -21,7 +39,7 @@ Design:
     ``pltpu.prng_random_bits`` to zeros, so the hardware PRNG is untestable
     on CPU);
   * custom VJP: backward recomputes probs (flash-style rematerialization)
-    and produces dq/dk/dv in one kernel launch.
+    and produces the full dqkv in one kernel launch.
 
 The pure-JAX twin (``mhsa_reference``) is the correctness oracle: the
 kernel must match it exactly for dropout_rate=0, and match its
@@ -83,35 +101,52 @@ def mhsa_reference(q, k, v, lens, *, dropout_rate: float = 0.0, seed=None,
     ).astype(q.dtype)
 
 
-def _keep_mask(shape, rate: float, seed, pid):
-    """Bernoulli(1-rate) keep mask, counter-based (murmur3-style finalizer
-    over (seed, program, row, col) — ops/hashrng.py, shared with the XLA-
-    level hash dropout).
+def _keep_mask(shape, rate: float, seed, pid, hw: bool = False):
+    """Bernoulli(1-rate) keep mask, deterministic per (seed, program).
 
-    Stateless and backend-portable: identical bits on TPU and in interpret
-    mode, regenerated exactly by the backward kernel — no [B,H,T,T] mask is
-    ever stored. A few VPU integer ops per element, negligible next to the
-    MXU matmuls (and far cheaper than the XLA-level RNG the naive path pays
-    for [B,H,T,T] dropout draws).
+    ``hw=True`` (compiled TPU path): the per-core hardware PRNG, seeded
+    with (seed, program id) — one generator op for the whole [Tp, Tp]
+    tile. Measured motivation: the murmur3 hash costs ~15 VPU int ops
+    per element, ~1.4 ms per kernel call at reference scale (B·H=512
+    programs × 384² elements) — more than the kernel's matmuls; the
+    hardware PRNG makes it ~free. Re-seeding with the same (seed, pid)
+    in the backward kernel regenerates the identical mask, so no
+    [B,H,T,T] mask is ever stored.
+
+    ``hw=False`` (interpret mode, i.e. CPU tests): the counter-based
+    murmur3-style hash over (seed, program, row, col) from
+    ``ops/hashrng.py`` — backend-portable bits the tests can reproduce
+    exactly (the TPU interpreter stubs ``pltpu.prng_random_bits`` to
+    zeros, so the hardware PRNG is untestable off-TPU). Forward/backward
+    parity holds identically in both modes.
     """
+    if hw:
+        pltpu.prng_seed(seed, pid)
+        bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        # P(bits >= rate·2³²) = 1 − rate
+        thresh = np.uint32(min(int(rate * 2.0**32), 2**32 - 1))
+        return bits >= thresh
     from ..hashrng import keep_mask2d
 
     return keep_mask2d(seed, pid, shape, rate)
 
 
-def _probs_for(q, kt, length, t, scale, left):
+def _probs_for(q, k, length, t, scale, left):
     """Masked softmax probabilities for one (batch, head) program. f32.
 
-    Matmul runs in the input dtype with f32 accumulation and the 1/√dh
-    scaling applied afterwards — the same op order as the naive einsum path,
-    so fp32 inputs give bit-identical scores. ``left`` (static) adds the
-    causal banded mask: query i sees keys in [i - left, i] (the streaming-
-    compatible Conformer's finite left context, conformer.py::_attention).
+    ``q``/``k`` are the natural [Tp, dh] blocks; the score matmul
+    contracts dh on both operands (A·Bᵀ — native on the MXU, no
+    materialized transpose) in the input dtype with f32 accumulation, the
+    1/√dh scaling applied afterwards — the same op order as the naive
+    einsum path, so fp32 inputs give bit-identical scores. ``left``
+    (static) adds the causal banded mask: query i sees keys in
+    [i - left, i] (the streaming-compatible Conformer's finite left
+    context, conformer.py::_attention).
     """
     tp = q.shape[0]
     scores = jax.lax.dot_general(
-        q, kt,
-        dimension_numbers=(((1,), (0,)), ((), ())),
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, (tp, tp), 1)
@@ -130,12 +165,20 @@ def _probs_for(q, kt, length, t, scale, left):
     return jnp.where(m <= NEG, 0.0, p)
 
 
-def _fwd_kernel(lens_ref, seed_ref, q_ref, kt_ref, v_ref, o_ref, *,
-                t: int, rate: float, scale: float, left):
-    pid = pl.program_id(0)
-    probs = _probs_for(q_ref[0], kt_ref[0], lens_ref[pid], t, scale, left)
+def _pid(nh: int):
+    """Flattened (batch, head) program id — matches the pre-rework 1-D
+    ``b*H + h`` grid so dropout bits are unchanged."""
+    return pl.program_id(0) * nh + pl.program_id(1)
+
+
+def _fwd_kernel(lens_ref, seed_ref, q_ref, k_ref, v_ref, o_ref, *,
+                t: int, rate: float, scale: float, left, nh: int,
+                hw: bool):
+    probs = _probs_for(
+        q_ref[0], k_ref[0], lens_ref[pl.program_id(0)], t, scale, left
+    )
     if rate > 0.0:
-        keep = _keep_mask(probs.shape, rate, seed_ref[0], pid)
+        keep = _keep_mask(probs.shape, rate, seed_ref[0], _pid(nh), hw)
         probs = jnp.where(keep, probs * (1.0 / (1.0 - rate)), 0.0)
     o_ref[0] = jax.lax.dot_general(
         probs.astype(q_ref.dtype), v_ref[0],
@@ -144,14 +187,15 @@ def _fwd_kernel(lens_ref, seed_ref, q_ref, kt_ref, v_ref, o_ref, *,
     ).astype(o_ref.dtype)
 
 
-def _bwd_kernel(lens_ref, seed_ref, q_ref, kt_ref, v_ref, g_ref,
+def _bwd_kernel(lens_ref, seed_ref, q_ref, k_ref, v_ref, g_ref,
                 dq_ref, dk_ref, dv_ref, *, t: int, rate: float,
-                scale: float, left):
-    pid = pl.program_id(0)
-    q, kt, v, g = q_ref[0], kt_ref[0], v_ref[0], g_ref[0]
-    probs = _probs_for(q, kt, lens_ref[pid], t, scale, left)  # f32 [Tp, Tp]
+                scale: float, left, nh: int, hw: bool):
+    q, k, v, g = q_ref[0], k_ref[0], v_ref[0], g_ref[0]
+    probs = _probs_for(
+        q, k, lens_ref[pl.program_id(0)], t, scale, left
+    )  # f32 [Tp, Tp]
     if rate > 0.0:
-        keep = _keep_mask(probs.shape, rate, seed_ref[0], pid)  # = forward
+        keep = _keep_mask(probs.shape, rate, seed_ref[0], _pid(nh), hw)
         inv = 1.0 / (1.0 - rate)
         dropped = jnp.where(keep, probs * inv, 0.0)
     else:
@@ -175,22 +219,37 @@ def _bwd_kernel(lens_ref, seed_ref, q_ref, kt_ref, v_ref, g_ref,
     # softmax VJP: dS = P ⊙ (dP − rowsum(dP ⊙ P))
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
     ds = ds.astype(q.dtype)
-    # dQ = dS @ K · scale ; K = ktᵀ → dS @ ktᵀ
+    # dQ = dS @ K · scale
     dq_ref[0] = (jax.lax.dot_general(
-        ds, kt, dimension_numbers=(((1,), (1,)), ((), ())),
+        ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=f32,
     ) * scale).astype(dq_ref.dtype)
-    # dK = dSᵀ @ Q · scale, written transposed to match ktᵀ layout [dh, Tp]:
-    # d(kt) = (dSᵀ @ Q)ᵀ · scale = Qᵀ @ dS · scale
+    # dK = dSᵀ @ Q · scale
     dk_ref[0] = (jax.lax.dot_general(
-        q, ds, dimension_numbers=(((0,), (0,)), ((), ())),
+        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=f32,
     ) * scale).astype(dk_ref.dtype)
 
 
-def _kt_spec(tp: int, dh: int):
-    return pl.BlockSpec((1, dh, tp), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
+def _qkv_maps(nh: int, interleaved: bool):
+    """Column-block index maps (block units of dh) into [B, Tp, 3·D] for
+    the q/k/v slices of head h.
+
+    torch-canonical layout ({q,k,v}, head, dh): q at block h, k at nh+h,
+    v at 2·nh+h. Interleaved TP layout (head, {q,k,v}, dh): 3h / 3h+1 /
+    3h+2.
+    """
+    if interleaved:
+        return (
+            lambda b, h: (b, 0, 3 * h),
+            lambda b, h: (b, 0, 3 * h + 1),
+            lambda b, h: (b, 0, 3 * h + 2),
+        )
+    return (
+        lambda b, h: (b, 0, h),
+        lambda b, h: (b, 0, nh + h),
+        lambda b, h: (b, 0, 2 * nh + h),
+    )
 
 
 def dropout_masks(bh: int, tp: int, seed, rate: float, *,
@@ -198,13 +257,14 @@ def dropout_masks(bh: int, tp: int, seed, rate: float, *,
     """Reproduce the kernels' per-program dropout keep-masks (test hook).
 
     Returns bool [bh, tp, tp] — exactly the masks `_fwd_kernel`/`_bwd_kernel`
-    generate for the same seed, enabling exact oracle comparison under
-    dropout.
+    generate for the same seed (program id = b*H + h) and the same
+    backend (hardware PRNG compiled, counter-hash in interpret mode),
+    enabling exact oracle comparison under dropout.
     """
 
     def kern(seed_ref, out_ref):
         out_ref[0] = _keep_mask(
-            (tp, tp), rate, seed_ref[0], pl.program_id(0)
+            (tp, tp), rate, seed_ref[0], pl.program_id(0), not interpret
         ).astype(jnp.int8)
 
     out = pl.pallas_call(
@@ -219,107 +279,114 @@ def dropout_masks(bh: int, tp: int, seed, rate: float, *,
     return out.astype(bool)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _fused(q, k, v, lens_bh, seed, rate, interpret, left):
-    out, _ = _fused_fwd(q, k, v, lens_bh, seed, rate, interpret, left)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _fused(qkv, lens, seed, nh, rate, interpret, left, interleaved):
+    out, _ = _fused_fwd(qkv, lens, seed, nh, rate, interpret, left,
+                        interleaved)
     return out
 
 
-def _call_fwd(q, kt, v, lens_bh, seed, rate, interpret, left):
-    bh, tp, dh = q.shape
-    t = tp  # q/k/v already padded; real-length masking comes via lens_bh
+def _block_spec(tp, dh, index_map):
+    return pl.BlockSpec((1, tp, dh), index_map, memory_space=pltpu.VMEM)
+
+
+def _call_fwd(qkv, lens, seed, nh, rate, interpret, left, interleaved):
+    b, tp, d3 = qkv.shape
+    dh = d3 // (3 * nh)
     kernel = functools.partial(
-        _fwd_kernel, t=t, rate=rate, scale=1.0 / math.sqrt(dh), left=left
+        _fwd_kernel, t=tp, rate=rate, scale=1.0 / math.sqrt(dh), left=left,
+        nh=nh, hw=not interpret,
     )
+    qm, km, vm = _qkv_maps(nh, interleaved)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, tp, dh), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        _kt_spec(tp, dh),
-        pl.BlockSpec((1, tp, dh), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        _block_spec(tp, dh, qm),
+        _block_spec(tp, dh, km),
+        _block_spec(tp, dh, vm),
     ]
     return pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(b, nh),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tp, dh), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, tp, dh), q.dtype),
+        out_specs=_block_spec(tp, dh, lambda i, h: (i, 0, h)),
+        out_shape=jax.ShapeDtypeStruct((b, tp, nh * dh), qkv.dtype),
         interpret=interpret,
-    )(lens_bh, seed, q, kt, v)
+    )(lens, seed, qkv, qkv, qkv)
 
 
-def _fused_fwd(q, k, v, lens_bh, seed, rate, interpret, left):
-    kt = jnp.swapaxes(k, -1, -2)  # [BH, dh, Tp] — both matmul operands
-    out = _call_fwd(q, kt, v, lens_bh, seed, rate, interpret, left)
-    return out, (q, kt, v, lens_bh, seed)
+def _fused_fwd(qkv, lens, seed, nh, rate, interpret, left, interleaved):
+    out = _call_fwd(qkv, lens, seed, nh, rate, interpret, left, interleaved)
+    return out, (qkv, lens, seed)
 
 
-def _fused_bwd(rate, interpret, left, res, g):
-    q, kt, v, lens_bh, seed = res
-    bh, tp, dh = q.shape
+def _fused_bwd(nh, rate, interpret, left, interleaved, res, g):
+    qkv, lens, seed = res
+    b, tp, d3 = qkv.shape
+    dh = d3 // (3 * nh)
     kernel = functools.partial(
-        _bwd_kernel, t=tp, rate=rate, scale=1.0 / math.sqrt(dh), left=left
+        _bwd_kernel, t=tp, rate=rate, scale=1.0 / math.sqrt(dh), left=left,
+        nh=nh, hw=not interpret,
     )
+    qm, km, vm = _qkv_maps(nh, interleaved)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, tp, dh), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        _kt_spec(tp, dh),
-        pl.BlockSpec((1, tp, dh), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tp, dh), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        _block_spec(tp, dh, qm),
+        _block_spec(tp, dh, km),
+        _block_spec(tp, dh, vm),
+        _block_spec(tp, dh, lambda i, h: (i, 0, h)),
     ]
-    dq, dkt, dv = pl.pallas_call(
+    out_spec = _block_spec(tp, dh, lambda i, h: (i, 0, h))
+    shp = jax.ShapeDtypeStruct((b, tp, nh * dh), qkv.dtype)
+    dq, dk, dv = pl.pallas_call(
         kernel,
-        grid=(bh,),
+        grid=(b, nh),
         in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, tp, dh), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            _kt_spec(tp, dh),
-            pl.BlockSpec((1, tp, dh), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh, tp, dh), q.dtype),
-            jax.ShapeDtypeStruct((bh, dh, tp), q.dtype),
-            jax.ShapeDtypeStruct((bh, tp, dh), q.dtype),
-        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        out_shape=[shp, shp, shp],
         interpret=interpret,
-    )(lens_bh, seed, q, kt, v, g)
-    dk = jnp.swapaxes(dkt, -1, -2)
-    return dq, dk, dv, None, None
+    )(lens, seed, qkv, qkv, qkv, g)
+    if interleaved:
+        # head-major [B,Tp,D] grads → (head, {q,k,v}, dh) columns
+        d = nh * dh
+        dqkv = jnp.stack(
+            [z.reshape(b, tp, nh, dh) for z in (dq, dk, dv)], axis=3
+        ).reshape(b, tp, 3 * d)
+    else:
+        dqkv = jnp.concatenate([dq, dk, dv], axis=-1)
+    return dqkv, None, None
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_mhsa(
-    q, k, v, lens, key, *, dropout_rate: float = 0.0, train: bool = False,
-    interpret: bool = False, left_context: int | None = None,
+def fused_mhsa_qkv(
+    qkv, lens, key, *, num_heads: int, dropout_rate: float = 0.0,
+    train: bool = False, interpret: bool = False,
+    left_context: int | None = None, interleaved: bool = False,
 ):
-    """Fused attention: q/k/v [B, H, T, dh], lens [B] or None.
+    """Fused attention over the qkv projection's natural output.
 
-    Returns [B, H, T, dh]. Pads T internally to a multiple of 128. Dropout
-    (training only) runs inside the kernel with the TPU PRNG, seeded from
-    ``key``. ``left_context`` (static) applies the causal banded mask —
-    query i attends keys [i - left_context, i] — so the streaming-
-    compatible Conformer variant trains on the fused path too.
+    ``qkv`` is [B, T, 3·D] (D = num_heads·dh) in torch-canonical
+    ({q,k,v}, head, dh) column order, or per-head-interleaved
+    (head, {q,k,v}, dh) order when ``interleaved=True`` (the tensor-
+    parallel layout — under head TP pass the shard-local array and local
+    ``num_heads``). Returns the head-major context [B, T, D] ready for
+    the out projection — no [B,H,T,dh] intermediate exists anywhere.
+
+    Pads T internally to a multiple of 128. Dropout (training only) runs
+    inside the kernel with the counter-hash PRNG, seeded from ``key``.
+    ``left_context`` (static) applies the causal banded mask — query i
+    attends keys [i - left_context, i] — so the streaming-compatible
+    Conformer variant trains on the fused path too.
     """
-    b, h, t, dh = q.shape
+    b, t, d3 = qkv.shape
     tp = _pad_t(t)
-    pad = [(0, 0), (0, 0), (0, tp - t), (0, 0)]
-    qp = jnp.pad(q, pad).reshape(b * h, tp, dh)
-    kp = jnp.pad(k, pad).reshape(b * h, tp, dh)
-    vp = jnp.pad(v, pad).reshape(b * h, tp, dh)
+    qkv_p = jnp.pad(qkv, [(0, 0), (0, tp - t), (0, 0)])
     if lens is None:
         lens = jnp.full((b,), t, jnp.int32)
-    lens_bh = jnp.repeat(lens.astype(jnp.int32), h)
+    lens = lens.astype(jnp.int32)
     rate = float(dropout_rate) if train else 0.0
     if rate > 0.0:
         seed = jax.random.randint(
@@ -327,5 +394,29 @@ def fused_mhsa(
         )
     else:
         seed = jnp.zeros((1,), jnp.int32)
-    out = _fused(qp, kp, vp, lens_bh, seed, rate, interpret, left_context)
-    return out.reshape(b, h, tp, dh)[:, :, :t, :]
+    out = _fused(qkv_p, lens, seed, num_heads, rate, interpret,
+                 left_context, interleaved)
+    return out[:, :t, :]
+
+
+def fused_mhsa(
+    q, k, v, lens, key, *, dropout_rate: float = 0.0, train: bool = False,
+    interpret: bool = False, left_context: int | None = None,
+):
+    """Head-split compat API: q/k/v [B, H, T, dh], lens [B] or None.
+
+    Returns [B, H, T, dh]. Thin wrapper over ``fused_mhsa_qkv`` (assembles
+    the canonical [B, T, 3D] layout, which costs transposes — production
+    code passes the projection output to ``fused_mhsa_qkv`` directly; this
+    entry exists for tests and ad-hoc use)."""
+    b, h, t, dh = q.shape
+
+    def flat(z):  # [B,H,T,dh] -> [B,T,H*dh] head-major
+        return z.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+    qkv = jnp.concatenate([flat(q), flat(k), flat(v)], axis=-1)
+    out = fused_mhsa_qkv(
+        qkv, lens, key, num_heads=h, dropout_rate=dropout_rate, train=train,
+        interpret=interpret, left_context=left_context,
+    )
+    return out.reshape(b, t, h, dh).transpose(0, 2, 1, 3)

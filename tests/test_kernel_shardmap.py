@@ -219,29 +219,50 @@ def test_fused_attention_sharded_matches_reference(head_tp):
         fused_attention="force",
     )
     q, k, v, lens = _attn_case()
+    b, h, t, dh = q.shape
     mesh = _tp_mesh() if head_tp else _data_mesh()
-    ref = mhsa_reference(q, k, v, lens)
+
+    def flat(z):  # [B,H,T,dh] -> head-major [B,T,H*dh]
+        return z.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+
+    if head_tp:  # (head, {q,k,v}, dh) column order
+        qkv = jnp.stack(
+            [flat(z).reshape(b, t, h, dh) for z in (q, k, v)], axis=3
+        ).reshape(b, t, 3 * h * dh)
+
+        def split(qkv):
+            z = qkv.reshape(b, t, h, 3, dh)
+            return tuple(
+                z[:, :, :, i].transpose(0, 2, 1, 3) for i in range(3)
+            )
+    else:  # torch-canonical ({q,k,v}, head, dh)
+        qkv = jnp.concatenate([flat(q), flat(k), flat(v)], axis=-1)
+
+        def split(qkv):
+            parts = jnp.split(qkv, 3, axis=-1)
+            return tuple(
+                z.reshape(b, t, h, dh).transpose(0, 2, 1, 3) for z in parts
+            )
+
+    ref = flat(mhsa_reference(q, k, v, lens))
     g_ref = jax.grad(
-        lambda q, k, v: jnp.sum(mhsa_reference(q, k, v, lens) ** 2),
-        argnums=(0, 1, 2),
-    )(q, k, v)
+        lambda qkv: jnp.sum(mhsa_reference(*split(qkv), lens) ** 2)
+    )(qkv)
     with kernel_mesh(mesh):
-        assert _use_fused_attention(cfg, q.shape[2], q.shape[0])
+        assert _use_fused_attention(cfg, t, b)
         out = _fused_mhsa_sharded(
-            cfg, q, k, v, lens, None, dropout_rate=0.0, train=False
+            cfg, qkv, lens, None, dropout_rate=0.0, train=False
         )
         g = jax.grad(
-            lambda q, k, v: jnp.sum(
+            lambda qkv: jnp.sum(
                 _fused_mhsa_sharded(
-                    cfg, q, k, v, lens, None, dropout_rate=0.0, train=False
+                    cfg, qkv, lens, None, dropout_rate=0.0, train=False
                 )
                 ** 2
-            ),
-            argnums=(0, 1, 2),
-        )(q, k, v)
+            )
+        )(qkv)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-    for a, b_ in zip(g, g_ref):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-5)
 
 
 def test_fused_attention_gate_multichip():
@@ -300,3 +321,62 @@ def test_frontend_kernel_sharded_matches_single():
         out = _fused_frontend_sharded(x, w, bias, idx, kernel_size=20,
                                       sigma=2.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+# ------------------------------------------------------------- fused FFN
+
+
+def test_fused_ffn_sharded_matches_reference():
+    from neural_speech_decoder_tpu.models.conformer import (
+        ConformerConfig,
+        _fused_ffn_sharded,
+        _use_fused_ffn,
+    )
+    from neural_speech_decoder_tpu.ops.pallas.ffn_kernel import (
+        ffn_reference,
+    )
+
+    cfg = ConformerConfig(latent_dim=128, ff_dim=256, fused_ffn="force")
+    rng = np.random.default_rng(9)
+    b, t, d, f = 8, 24, 128, 256
+    mk = lambda *shp: jnp.asarray(rng.standard_normal(shp) * 0.2,
+                                  jnp.float32)
+    x = mk(b, t, d)
+    p = {
+        "ln": {"scale": 1.0 + mk(d) * 0.1, "bias": mk(d) * 0.1},
+        "lin1": {"w": mk(d, f), "b": mk(f) * 0.1},
+        "lin2": {"w": mk(f, d), "b": mk(d) * 0.1},
+    }
+    ref = ffn_reference(x, p["ln"]["scale"], p["ln"]["bias"],
+                        p["lin1"]["w"], p["lin1"]["b"],
+                        p["lin2"]["w"], p["lin2"]["b"])
+
+    def loss(fn, x, p):
+        return jnp.sum(fn(x, p) ** 2)
+
+    def ref_fn(x, p):
+        return ffn_reference(x, p["ln"]["scale"], p["ln"]["bias"],
+                             p["lin1"]["w"], p["lin1"]["b"],
+                             p["lin2"]["w"], p["lin2"]["b"])
+
+    g_ref = jax.grad(lambda p: loss(ref_fn, x, p))(p)
+    with kernel_mesh(_data_mesh()):
+        assert _use_fused_ffn(cfg, t, b)
+        out = _fused_ffn_sharded(cfg, p, x, None, dropout_rate=0.0,
+                                 train=False)
+        # weight grads must psum correctly over the manual batch axis
+        g = jax.jit(jax.grad(
+            lambda p: loss(
+                lambda x, p: _fused_ffn_sharded(
+                    cfg, p, x, None, dropout_rate=0.0, train=False
+                ), x, p,
+            )
+        ))(p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=1e-5)
+    for path in ("ln", "lin1", "lin2"):
+        for leaf in g[path]:
+            np.testing.assert_allclose(
+                np.asarray(g[path][leaf]), np.asarray(g_ref[path][leaf]),
+                rtol=2e-3, atol=1e-4, err_msg=f"{path}/{leaf}",
+            )

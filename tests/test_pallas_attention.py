@@ -216,3 +216,95 @@ def test_banded_matches_causal_conformer_attention():
     np.testing.assert_allclose(np.asarray(band_kernel),
                                np.asarray(band_ref), rtol=1e-6, atol=1e-6)
     assert np.all(np.isfinite(np.asarray(ref)))
+
+
+# ---------------------------------------------- qkv-layout production API
+
+
+def _pack_canonical(q, k, v):
+    b, h, t, dh = q.shape
+    flat = lambda z: z.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+    return jnp.concatenate([flat(q), flat(k), flat(v)], axis=-1)
+
+
+def _pack_interleaved(q, k, v):
+    b, h, t, dh = q.shape
+    flat = lambda z: z.transpose(0, 2, 1, 3).reshape(b, t, h, dh)
+    return jnp.stack([flat(q), flat(k), flat(v)], axis=3).reshape(
+        b, t, 3 * h * dh
+    )
+
+
+@pytest.mark.parametrize("interleaved", [False, True])
+def test_qkv_api_matches_oracle(interleaved):
+    """fused_mhsa_qkv (the production zero-transpose entry) == oracle for
+    both supported column layouts, output in head-major [B,T,D]."""
+    from neural_speech_decoder_tpu.ops.pallas.attention_kernel import (
+        fused_mhsa_qkv,
+    )
+
+    q, k, v = make_qkv(b=2, h=2, t=29, dh=16, seed=5)
+    b, h, t, dh = q.shape
+    lens = jnp.array([29, 13], jnp.int32)
+    qkv = (_pack_interleaved if interleaved else _pack_canonical)(q, k, v)
+    out = fused_mhsa_qkv(qkv, lens, None, num_heads=h, interpret=True,
+                         interleaved=interleaved)
+    ref = mhsa_reference(q, k, v, lens)
+    ref2d = ref.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref2d),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("interleaved", [False, True])
+def test_qkv_api_grad_matches_oracle(interleaved):
+    """d(qkv) through the custom VJP (incl. the bwd-side column
+    reassembly) == autodiff through the oracle for both layouts."""
+    from neural_speech_decoder_tpu.ops.pallas.attention_kernel import (
+        fused_mhsa_qkv,
+    )
+
+    q, k, v = make_qkv(b=2, h=2, t=21, dh=8, seed=6)
+    b, h, t, dh = q.shape
+    lens = jnp.array([21, 11], jnp.int32)
+    pack = _pack_interleaved if interleaved else _pack_canonical
+
+    def split(qkv):
+        if interleaved:
+            z = qkv.reshape(b, t, h, 3, dh)
+            return tuple(
+                z[:, :, :, i].transpose(0, 2, 1, 3) for i in range(3)
+            )
+        parts = jnp.split(qkv, 3, axis=-1)
+        return tuple(
+            z.reshape(b, t, h, dh).transpose(0, 2, 1, 3) for z in parts
+        )
+
+    qkv = pack(q, k, v)
+    g = jax.grad(
+        lambda qkv: jnp.sum(
+            fused_mhsa_qkv(qkv, lens, None, num_heads=h, interpret=True,
+                           interleaved=interleaved) ** 2
+        )
+    )(qkv)
+    g_ref = jax.grad(
+        lambda qkv: jnp.sum(mhsa_reference(*split(qkv), lens) ** 2)
+    )(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_qkv_api_left_context_matches_oracle():
+    from neural_speech_decoder_tpu.ops.pallas.attention_kernel import (
+        fused_mhsa_qkv,
+    )
+
+    q, k, v = make_qkv(b=2, h=2, t=33, dh=8, seed=7)
+    b, h, t, dh = q.shape
+    lens = jnp.array([33, 17], jnp.int32)
+    qkv = _pack_canonical(q, k, v)
+    out = fused_mhsa_qkv(qkv, lens, None, num_heads=h, interpret=True,
+                         left_context=6)
+    ref = mhsa_reference(q, k, v, lens, left_context=6)
+    ref2d = ref.transpose(0, 2, 1, 3).reshape(b, t, h * dh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref2d),
+                               rtol=1e-6, atol=1e-6)

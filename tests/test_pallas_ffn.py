@@ -1,0 +1,189 @@
+"""Fused FFN Pallas kernel vs pure-JAX oracle (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from neural_speech_decoder_tpu.ops.pallas.ffn_kernel import (
+    dropout_masks,
+    ffn_reference,
+    fused_ffn,
+)
+
+
+def make_case(b=3, t=17, d=32, f=64, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    mk = lambda *shp: jnp.asarray(rng.standard_normal(shp) * 0.3, dtype)
+    x = mk(b, t, d)
+    params = dict(
+        scale=1.0 + mk(d) * 0.1,
+        bias=mk(d) * 0.1,
+        w1=mk(d, f),
+        b1=mk(f) * 0.1,
+        w2=mk(f, d),
+        b2=mk(d) * 0.1,
+    )
+    return x, params
+
+
+def _ref(x, p):
+    return ffn_reference(x, p["scale"], p["bias"], p["w1"], p["b1"],
+                         p["w2"], p["b2"])
+
+
+def _kern(x, p, key=None, rate=0.0, train=False):
+    return fused_ffn(x, p["scale"], p["bias"], p["w1"], p["b1"], p["w2"],
+                     p["b2"], key, dropout_rate=rate, train=train,
+                     interpret=True)
+
+
+def test_fwd_matches_oracle():
+    x, p = make_case()
+    np.testing.assert_allclose(
+        np.asarray(_kern(x, p)), np.asarray(_ref(x, p)),
+        rtol=1e-6, atol=1e-6,
+    )
+
+
+def test_fwd_matches_ff_module():
+    """The oracle itself (and hence the kernel) matches the model's
+    _ff_module with dropout off."""
+    from neural_speech_decoder_tpu.models.conformer import _ff_module
+
+    x, p = make_case(seed=3)
+    mp = {
+        "ln": {"scale": p["scale"], "bias": p["bias"]},
+        "lin1": {"w": p["w1"], "b": p["b1"]},
+        "lin2": {"w": p["w2"], "b": p["b2"]},
+    }
+    ref = _ff_module(mp, x, None, 0.3, False)
+    # rtol 1e-4: einsum vs dot_general lowerings reassociate FMAs
+    # differently on CPU; the kernel is bit-tight against ffn_reference
+    # (test above), which is the pinned contract.
+    np.testing.assert_allclose(
+        np.asarray(_kern(x, p)), np.asarray(ref), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_grads_match_oracle():
+    x, p = make_case(seed=1)
+
+    def loss_k(x, p):
+        return jnp.sum(_kern(x, p) ** 2)
+
+    def loss_r(x, p):
+        return jnp.sum(_ref(x, p) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1))(x, p)
+    gr = jax.grad(loss_r, argnums=(0, 1))(x, p)
+    # rtol 2e-3 / atol 1e-4: the hand-written VJP reassociates the f32
+    # reductions differently from autodiff through the oracle; violations
+    # are ~6e-5 absolute on O(100) gradients (cancellation on
+    # small-magnitude elements). Formula errors would be O(1).
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]),
+                               rtol=2e-3, atol=1e-4)
+    for name in gr[1]:
+        np.testing.assert_allclose(
+            np.asarray(gk[1][name]), np.asarray(gr[1][name]),
+            rtol=2e-3, atol=1e-4, err_msg=name,
+        )
+
+
+def test_dropout_fwd_matches_oracle_with_extracted_masks():
+    """Exact parity under dropout: rebuild the kernel's keep-masks via the
+    test hook and push them through the reference computation."""
+    b, t, d, f = 2, 9, 16, 32
+    x, p = make_case(b=b, t=t, d=d, f=f, seed=2)
+    rate = 0.4
+    key = jax.random.key(7)
+    out = _kern(x, p, key, rate=rate, train=True)
+
+    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    m1, m2 = dropout_masks(b, t, d, f, seed, rate, interpret=True)
+
+    # reference with the same masks
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+    h = jax.nn.silu(xn @ p["w1"] + p["b1"])
+    h = jnp.where(m1, h / (1 - rate), 0.0)
+    o = h @ p["w2"] + p["b2"]
+    o = jnp.where(m2, o / (1 - rate), 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(o),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_dropout_grad_consistent_with_masks():
+    """The VJP regenerates the same masks as the forward: grad through the
+    kernel == grad through the mask-explicit reference."""
+    b, t, d, f = 2, 7, 16, 32
+    x, p = make_case(b=b, t=t, d=d, f=f, seed=4)
+    rate = 0.3
+    key = jax.random.key(11)
+    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    m1, m2 = dropout_masks(b, t, d, f, seed, rate, interpret=True)
+
+    def loss_k(x):
+        return jnp.sum(_kern(x, p, key, rate=rate, train=True) ** 2)
+
+    def loss_m(x):
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        xn = (xf - mean) * jax.lax.rsqrt(var + 1e-5) * p["scale"] + p["bias"]
+        h = jax.nn.silu(xn @ p["w1"] + p["b1"])
+        h = jnp.where(m1, h / (1 - rate), 0.0)
+        o = h @ p["w2"] + p["b2"]
+        return jnp.sum(jnp.where(m2, o / (1 - rate), 0.0) ** 2)
+
+    np.testing.assert_allclose(
+        np.asarray(jax.grad(loss_k)(x)), np.asarray(jax.grad(loss_m)(x)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_mask_sites_independent():
+    seed = jnp.zeros((1,), jnp.int32)
+    m1, m2 = dropout_masks(2, 8, 16, 16, seed, 0.5, interpret=True)
+    # same shape here by construction — sites must still draw different bits
+    assert not bool(jnp.all(m1 == m2))
+
+
+def test_jit_under_vmapless_batch():
+    x, p = make_case(b=5, t=11, d=16, f=32, seed=5)
+    out = jax.jit(lambda x: _kern(x, p))(x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(x, p)),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_model_forward_force_matches_einsum_path():
+    """conformer_forward with fused_ffn='force' (kernel in interpret mode)
+    matches the einsum twin end-to-end, eval mode."""
+    from neural_speech_decoder_tpu.models.conformer import (
+        ConformerConfig,
+        conformer_forward,
+        init_conformer_params,
+    )
+
+    base = dict(
+        n_channels=16, n_classes=6, n_days=3, frontend_dim=128,
+        latent_dim=128, autoencoder_hidden_dim=32, num_layers=2,
+        num_heads=2, ff_dim=256, temporal_kernel=8, temporal_stride=2,
+        fused_attention=False,
+    )
+    cfg_twin = ConformerConfig(**base, fused_ffn=False)
+    cfg_kern = ConformerConfig(**base, fused_ffn="force")
+    params = init_conformer_params(jax.random.key(0), cfg=cfg_twin)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 40, 16)), jnp.float32)
+    days = jnp.asarray([0, 2], jnp.int32)
+    lens = jnp.asarray([40, 25], jnp.int32)
+    lp_t, ol_t, _ = conformer_forward(params, cfg_twin, x, days, lens)
+    lp_k, ol_k, _ = conformer_forward(params, cfg_kern, x, days, lens)
+    np.testing.assert_array_equal(np.asarray(ol_t), np.asarray(ol_k))
+    np.testing.assert_allclose(np.asarray(lp_k), np.asarray(lp_t),
+                               rtol=1e-4, atol=1e-5)
