@@ -286,17 +286,9 @@ def _use_fused_ffn(cfg: ConformerConfig, t: int, b: int) -> bool:
     # f32 intermediates per program (see ffn_kernel._vmem_params)
     vmem_est = 2 * d * f * 2 + 2 * d * f * 4 + 4 * t * f * 4
     shapes_ok = d % 128 == 0 and f % 128 == 0 and vmem_est <= (100 << 20)
-    if cfg.fused_ffn == "force":
-        return shapes_ok
-    if not (
-        cfg.fused_ffn
-        and shapes_ok
-        and cfg.compute_dtype == jnp.bfloat16
-        and jax.default_backend() == "tpu"
-    ):
-        return False
-    if jax.device_count() == 1:
-        return True
+    gate = _fused_gate(cfg.fused_ffn, shapes_ok, cfg)
+    if gate is not None:
+        return gate
     return batch_mappable_mesh(b) is not None
 
 
@@ -351,6 +343,27 @@ def _fused_ffn_sharded(cfg, p, x, key, *, dropout_rate, train):
     )(x, key, *args)
 
 
+def _fused_gate(flag, shapes_ok: bool, cfg: "ConformerConfig"):
+    """Shared gating ladder for the fused-kernel config flags
+    (``fused_attention`` / ``fused_ffn``): returns True/False when the
+    decision is final, or None when the caller must apply its own
+    multi-device mesh predicate. "force" obeys only the shape gates
+    (kernel runs in interpreter mode off-TPU — tests); auto mode
+    requires bf16 compute on a TPU backend."""
+    if flag == "force":
+        return shapes_ok
+    if not (
+        flag
+        and shapes_ok
+        and cfg.compute_dtype == jnp.bfloat16
+        and jax.default_backend() == "tpu"
+    ):
+        return False
+    if jax.device_count() == 1:
+        return True
+    return None  # multi-device: caller's mesh predicate decides
+
+
 def _use_fused_attention(cfg: ConformerConfig, t: int, b: int) -> bool:
     dh = cfg.latent_dim // cfg.num_heads
     # VMEM budget gate: the kernel keeps a full [Tp, Tp] f32 score matrix
@@ -365,17 +378,9 @@ def _use_fused_attention(cfg: ConformerConfig, t: int, b: int) -> bool:
     tp = _pad_t(t)
     vmem_est = 2 * tp * tp * 4 + 4 * tp * dh * 4
     shapes_ok = dh % 128 == 0 and vmem_est <= (12 << 20)
-    if cfg.fused_attention == "force":  # tests: interpreter kernel off-TPU
-        return shapes_ok
-    if not (
-        cfg.fused_attention
-        and shapes_ok
-        and cfg.compute_dtype == jnp.bfloat16
-        and jax.default_backend() == "tpu"
-    ):
-        return False
-    if jax.device_count() == 1:
-        return True
+    gate = _fused_gate(cfg.fused_attention, shapes_ok, cfg)
+    if gate is not None:
+        return gate
     # Multi-chip: a bare Mosaic custom call has no GSPMD partitioning rule
     # (XLA would all-gather + replicate it), so the kernel path needs a
     # registered kernel mesh to shard_map over — batch over the mesh's

@@ -32,12 +32,13 @@ Design (round-3 layout rework):
     so the kernel runs unchanged on the shard-local array;
   * key-padding mask from per-batch sequence lengths (SMEM);
   * softmax statistics in f32; matmuls accumulate in f32 on the MXU;
-  * dropout on attention probabilities via an in-kernel counter-based hash
-    (murmur3-style over (seed, program, row, col)) — the backward kernel
-    regenerates the identical mask, so no [B,H,T,T] mask is ever stored,
-    and the bits are backend-portable (the TPU interpreter stubs
-    ``pltpu.prng_random_bits`` to zeros, so the hardware PRNG is untestable
-    on CPU);
+  * dropout on attention probabilities in-kernel: the TPU hardware PRNG
+    re-seeded per (seed, program id) on the compiled path, the
+    counter-based murmur3 hash in interpret mode (backend-portable bits
+    for CPU tests — the interpreter stubs ``pltpu.prng_random_bits`` to
+    zeros). In both modes the backward kernel regenerates the identical
+    mask, so no [B,H,T,T] mask is ever stored; compiled and interpreted
+    bits DIFFER by design (see ``_keep_mask``);
   * custom VJP: backward recomputes probs (flash-style rematerialization)
     and produces the full dqkv in one kernel launch.
 
@@ -166,8 +167,12 @@ def _probs_for(q, k, length, t, scale, left):
 
 
 def _pid(nh: int):
-    """Flattened (batch, head) program id — matches the pre-rework 1-D
-    ``b*H + h`` grid so dropout bits are unchanged."""
+    """Flattened (batch, head) program id ``b*H + h`` — the dropout
+    stream index (hash counter in interpret mode, PRNG seed component on
+    TPU); matches the pre-rework 1-D grid's program id, so
+    interpret-mode hash bits are unchanged across the layout rework
+    (compiled-path bits changed when dropout moved to the hardware
+    PRNG)."""
     return pl.program_id(0) * nh + pl.program_id(1)
 
 

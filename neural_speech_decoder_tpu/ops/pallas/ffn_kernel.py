@@ -153,12 +153,18 @@ def _bwd_kernel(seed_ref, x_ref, scale_ref, bias_ref, w1_ref, b1_ref,
     sc = s.astype(cdt).astype(f32)  # silu sees the cast value
     sig = jax.nn.sigmoid(sc)
     h = sc * sig
+    # forward's exact rounding sequence for the w2 operand: silu rounded
+    # to cdt, then the dropout scale applied and rounded again — `hq`
+    # must be bit-identical to what the forward multiplied by w2 (the f32
+    # `h` above keeps full precision for the silu-backward math).
+    hq = h.astype(cdt)
     if rate > 0.0:
         m1, m2 = _site_masks(
             [h.shape, (h.shape[0], d)], rate, seed_ref, pid, hw
         )
         inv = 1.0 / (1.0 - rate)
         h = jnp.where(m1, h * inv, 0.0)
+        hq = jnp.where(m1, hq.astype(f32) * inv, 0.0).astype(cdt)
 
     g = g_ref[0].astype(f32)
     if rate > 0.0:
@@ -167,9 +173,8 @@ def _bwd_kernel(seed_ref, x_ref, scale_ref, bias_ref, w1_ref, b1_ref,
     # dW accumulators: the dw1/dw2 outputs have constant index maps, so
     # their VMEM buffers persist across the sequential grid — accumulate
     # into them directly (flushed to HBM once, at the end of the grid).
-    hb = h.astype(cdt)
     dw2_part = jax.lax.dot_general(
-        hb, g.astype(cdt), dimension_numbers=(((0,), (0,)), ((), ())),
+        hq, g.astype(cdt), dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=f32,
     )
 

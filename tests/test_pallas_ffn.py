@@ -162,11 +162,23 @@ def test_jit_under_vmapless_batch():
 
 def test_model_forward_force_matches_einsum_path():
     """conformer_forward with fused_ffn='force' (kernel in interpret mode)
-    matches the einsum twin end-to-end, eval mode."""
+    matches the einsum twin end-to-end, eval mode.
+
+    Under the 8-virtual-device conftest a kernel mesh must be registered
+    (and the batch must split over it) or _fused_ffn_sharded returns None
+    and this test would silently compare the twin to itself — so the
+    fused run asserts the kernel path was actually mappable."""
+    from jax.sharding import Mesh
+
     from neural_speech_decoder_tpu.models.conformer import (
         ConformerConfig,
+        _use_fused_ffn,
         conformer_forward,
         init_conformer_params,
+    )
+    from neural_speech_decoder_tpu.parallel.kernel_mesh import (
+        batch_mappable_mesh,
+        kernel_mesh,
     )
 
     base = dict(
@@ -178,12 +190,21 @@ def test_model_forward_force_matches_einsum_path():
     cfg_twin = ConformerConfig(**base, fused_ffn=False)
     cfg_kern = ConformerConfig(**base, fused_ffn="force")
     params = init_conformer_params(jax.random.key(0), cfg=cfg_twin)
+    b = jax.device_count()  # 8 under conftest: splits over the mesh
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((2, 40, 16)), jnp.float32)
-    days = jnp.asarray([0, 2], jnp.int32)
-    lens = jnp.asarray([40, 25], jnp.int32)
+    x = jnp.asarray(rng.standard_normal((b, 40, 16)), jnp.float32)
+    days = jnp.asarray(rng.integers(0, 3, size=b), jnp.int32)
+    lens = jnp.asarray(rng.integers(25, 41, size=b), jnp.int32)
     lp_t, ol_t, _ = conformer_forward(params, cfg_twin, x, days, lens)
-    lp_k, ol_k, _ = conformer_forward(params, cfg_kern, x, days, lens)
+    mesh = Mesh(
+        np.array(jax.devices()).reshape(jax.device_count(), 1),
+        ("data", "model"),
+    )
+    with kernel_mesh(mesh):
+        assert _use_fused_ffn(cfg_kern, 40, b)
+        if jax.device_count() > 1:  # gate actually maps on this mesh
+            assert batch_mappable_mesh(b) is not None
+        lp_k, ol_k, _ = conformer_forward(params, cfg_kern, x, days, lens)
     np.testing.assert_array_equal(np.asarray(ol_t), np.asarray(ol_k))
     np.testing.assert_allclose(np.asarray(lp_k), np.asarray(lp_t),
                                rtol=1e-4, atol=1e-5)
