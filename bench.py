@@ -170,7 +170,8 @@ def bench_rescorer() -> dict | None:
                 f"({type(e).__name__}); stderr tail:\n{stderr[-2000:]}",
                 file=sys.stderr,
             )
-            time.sleep(30)
+            if attempt < 2:  # no point backing off after the final try
+                time.sleep(30)
     return None
 
 

@@ -302,7 +302,7 @@ def _fused_ffn_sharded(cfg, p, x, key, *, dropout_rate, train):
     from functools import partial
 
     from ..ops.pallas.ffn_kernel import fused_ffn
-    from ..parallel.kernel_mesh import batch_mappable_mesh
+    from ..parallel.kernel_mesh import batch_shard_mapped
 
     interpret = jax.default_backend() != "tpu"
     call = partial(
@@ -314,33 +314,19 @@ def _fused_ffn_sharded(cfg, p, x, key, *, dropout_rate, train):
         p["lin1"]["w"], p["lin1"]["b"],
         p["lin2"]["w"], p["lin2"]["b"],
     )
-    if jax.device_count() <= 1:
-        return call(x, *args, key)
-    km = batch_mappable_mesh(x.shape[0])
-    if km is None:
-        return None
-
-    from jax.sharding import PartitionSpec as P
-
     dropout_on = train and key is not None and dropout_rate > 0.0
-
-    def inner(x, key, *args):
-        if dropout_on:
-            key = jax.random.fold_in(
-                key, jax.lax.axis_index(km.batch_axis)
-            )
-        return call(x, *args, key)
-
     if key is None:
-        key = jax.random.key(0)  # unused (dropout_on False)
-    rep = (P(),) * len(args)
-    return jax.shard_map(
-        inner,
-        mesh=km.mesh,
-        in_specs=(P(km.batch_axis), P()) + rep,
-        out_specs=P(km.batch_axis),
-        check_vma=False,
-    )(x, key, *args)
+        key = jax.random.key(0)  # unused (dropout_on False); shard_map
+        # needs a concrete array operand, not None
+    return batch_shard_mapped(
+        lambda x, key, *w: call(x, *w, key),
+        x, key, *args,
+        batch_dims=(0, None) + (None,) * len(args),
+        out_batch_dims=0,
+        # per-shard dropout streams restart the in-kernel program-id
+        # counter at 0; fold the key with the shard index to decorrelate
+        fold_rng_arg=1 if dropout_on else None,
+    )
 
 
 def _fused_gate(flag, shapes_ok: bool, cfg: "ConformerConfig"):

@@ -38,7 +38,7 @@ from ..ops.day_affine import day_affine, init_day_affine
 from ..ops.gaussian import gaussian_smooth
 from ..ops.pallas.gru_scan import gru_sequence
 from ..ops.unfold import unfold_matmul, unfold_output_length
-from ..parallel.kernel_mesh import batch_mappable_mesh, kernel_batch_shards
+from ..parallel.kernel_mesh import kernel_batch_shards
 from .common import orthogonal, torch_linear_init, uniform_bound, xavier_uniform
 
 Params = dict[str, Any]
@@ -274,71 +274,49 @@ _gru_layer.defvjp(_gru_layer_fwd, _gru_layer_bwd)
 
 
 def _gru_sequence_sharded(xp, w_hh, b_hh):
-    """``gru_sequence`` with multi-device support: when a kernel mesh is
-    registered and more than one device is live, the kernel runs inside a
-    ``shard_map`` over the mesh with the batch axis mapped — each device
-    scans its own batch shard; weights enter replicated (``P()``; their
-    cotangents are psummed by shard_map's transpose). The region is fully
-    manual with ``check_vma=False`` (JAX 0.9: partial-manual requires vma
-    metadata Pallas out-shapes don't carry), so it is only taken when the
-    batch axis covers ALL mesh devices — any 'model' axis must be size 1,
-    else the unmapped-weight transpose would double-count over the
-    replicated axis. On a multi-device run whose mesh can't map the batch
-    that way (e.g. tensor parallelism, or forced ``use_pallas=True`` with
-    no registered mesh) this returns **None** and the caller falls back
-    to the XLA twin — running the bare kernel there would make GSPMD
-    all-gather the batch and replicate the kernel on every chip. Off-TPU
-    backends run the kernel in the Pallas interpreter (tests)."""
+    """``gru_sequence`` on the shared batch-sharded kernel path
+    (``parallel.kernel_mesh.batch_shard_mapped``): each device scans its
+    own batch shard; weights enter replicated (their cotangents are
+    psummed by shard_map's transpose). ``tile=16`` enforces the scan
+    kernel's per-SHARD batch tiling even on forced ``use_pallas=True``
+    runs. Returns **None** when a multi-device mesh can't map the batch
+    that way (tensor parallelism, no registered mesh, mis-tiled shards) —
+    the caller falls back to the XLA twin. Off-TPU backends run the
+    kernel in the Pallas interpreter (tests)."""
     from functools import partial
 
-    interpret = jax.default_backend() != "tpu"
-    b = xp.shape[2]
-    if jax.device_count() > 1:
-        km = batch_mappable_mesh(b)
-        if km is None:
-            return None
-        from jax.sharding import PartitionSpec as P
+    from ..parallel.kernel_mesh import batch_shard_mapped
 
-        spec = P(None, None, km.batch_axis, None)
-        return jax.shard_map(
-            partial(gru_sequence, interpret=interpret),
-            mesh=km.mesh,
-            in_specs=(spec, P(), P()),
-            out_specs=spec,
-            check_vma=False,
-        )(xp, w_hh, b_hh)
-    return gru_sequence(xp, w_hh, b_hh, interpret=interpret)
+    interpret = jax.default_backend() != "tpu"
+    return batch_shard_mapped(
+        partial(gru_sequence, interpret=interpret),
+        xp, w_hh, b_hh,
+        batch_dims=(2, None, None),
+        out_batch_dims=2,
+        tile=16,
+    )
 
 
 def _fused_frontend_sharded(x, day_w, day_b, day_idx, *, kernel_size, sigma):
-    """Inference frontend kernel with the same shard_map wrapping rule as
-    ``_gru_sequence_sharded`` (batch axis mapped over a batch-only mesh,
-    weights replicated, fully-manual region with ``check_vma=False``).
-    Returns None on a multi-device run whose mesh can't map the batch —
-    the caller falls back to the unfused XLA frontend chain."""
-    from ..ops.pallas.frontend_kernel import fused_frontend
+    """Inference frontend kernel on the shared batch-sharded kernel path
+    (one program per batch row — no batch tile). Returns None on a
+    multi-device run whose mesh can't map the batch — the caller falls
+    back to the unfused XLA frontend chain."""
     from functools import partial
+
+    from ..ops.pallas.frontend_kernel import fused_frontend
+    from ..parallel.kernel_mesh import batch_shard_mapped
 
     interpret = jax.default_backend() != "tpu"
     fn = partial(
         fused_frontend, kernel_size=kernel_size, sigma=sigma,
         interpret=interpret,
     )
-    if jax.device_count() > 1:
-        km = batch_mappable_mesh(x.shape[0])
-        if km is None:
-            return None
-        from jax.sharding import PartitionSpec as P
-
-        b = P(km.batch_axis)
-        return jax.shard_map(
-            fn,
-            mesh=km.mesh,
-            in_specs=(b, P(), P(), b),
-            out_specs=b,
-            check_vma=False,
-        )(x, day_w, day_b, day_idx)
-    return fn(x, day_w, day_b, day_idx)
+    return batch_shard_mapped(
+        fn, x, day_w, day_b, day_idx,
+        batch_dims=(0, None, None, 0),
+        out_batch_dims=0,
+    )
 
 
 def gru_encode(

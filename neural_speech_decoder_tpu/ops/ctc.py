@@ -41,39 +41,28 @@ def ctc_feasible(
 
 
 def _ctc_kernel_sharded(log_probs, input_lens, labels, label_lens):
-    """Per-sequence Pallas CTC loss with multi-device support: when a
-    kernel mesh is registered (parallel/kernel_mesh.py) whose batch axis
-    covers all devices, the kernel runs inside a fully-manual
-    ``shard_map`` (``check_vma=False`` — JAX 0.9 partial-manual needs vma
-    metadata Pallas out-shapes don't carry) with every operand mapped
-    over the batch axis — each device computes the alpha/beta recursions
-    for its local batch shard, and the transpose needs no psum since all
-    differentiable inputs are batch-mapped. Returns None on a multi-device
-    run whose mesh can't map the batch (e.g. tensor parallelism) — the
-    caller falls back to the optax path, which shards cleanly under
-    GSPMD; a bare replicated kernel would be strictly worse. Off-TPU
+    """Per-sequence Pallas CTC loss on the shared batch-sharded kernel
+    path (``parallel.kernel_mesh.batch_shard_mapped``): every operand is
+    mapped over the batch axis — each device computes the alpha/beta
+    recursions for its local shard, and the transpose needs no psum since
+    all differentiable inputs are batch-mapped. ``tile=8`` enforces the
+    kernel's per-SHARD batch requirement even on forced ``use_kernel=True``
+    runs. Returns None on a multi-device run whose mesh can't map the
+    batch — the caller falls back to the optax path, which shards cleanly
+    under GSPMD; a bare replicated kernel would be strictly worse. Off-TPU
     backends use the Pallas interpreter (tests)."""
     from functools import partial
 
     from .pallas.ctc_kernel import ctc_loss_tpu
-    from ..parallel.kernel_mesh import batch_mappable_mesh
+    from ..parallel.kernel_mesh import batch_shard_mapped
 
     fn = partial(ctc_loss_tpu, interpret=jax.default_backend() != "tpu")
-    if jax.device_count() > 1:
-        km = batch_mappable_mesh(log_probs.shape[0])
-        if km is None:
-            return None
-        from jax.sharding import PartitionSpec as P
-
-        b = P(km.batch_axis)
-        return jax.shard_map(
-            fn,
-            mesh=km.mesh,
-            in_specs=(b, b, b, b),
-            out_specs=b,
-            check_vma=False,
-        )(log_probs, input_lens, labels, label_lens)
-    return fn(log_probs, input_lens, labels, label_lens)
+    return batch_shard_mapped(
+        fn, log_probs, input_lens, labels, label_lens,
+        batch_dims=(0, 0, 0, 0),
+        out_batch_dims=0,
+        tile=8,
+    )
 
 
 def ctc_loss(

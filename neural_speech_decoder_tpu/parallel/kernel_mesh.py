@@ -123,6 +123,81 @@ def get_kernel_mesh() -> KernelMesh | None:
     return _current
 
 
+def batch_shard_mapped(
+    fn,
+    *args,
+    batch_dims: tuple,
+    out_batch_dims,
+    tile: int = 1,
+    fold_rng_arg: int | None = None,
+):
+    """Run ``fn(*args)`` on the batch-sharded kernel path, or return None.
+
+    The shared body of the multi-device Pallas kernel wrappers
+    (``models/gru.py``, ``models/conformer.py``, ``ops/ctc.py``):
+
+      * single device → plain ``fn(*args)``;
+      * multi-device with a registered mesh whose batch axis covers ALL
+        devices and splits the batch into per-shard multiples of ``tile``
+        (the kernel's own batch tiling requirement — it applies to the
+        SHARD-LOCAL batch each device sees, so forced kernel flags can't
+        smuggle mis-tiled shapes past the gates) → ``fn`` inside a
+        fully-manual ``shard_map`` with ``check_vma=False`` (JAX 0.9
+        partial-manual needs vma metadata Pallas out-shapes don't carry;
+        full coverage of the mesh keeps the unmapped-operand transpose
+        psum correct — module docstring);
+      * otherwise → None; the caller falls back to its XLA twin (a bare
+        Mosaic custom call has no GSPMD partitioning rule, so running it
+        under the multi-device jit would all-gather + replicate).
+
+    ``batch_dims`` gives, per positional arg, the index of its batch axis
+    (None = replicated, spec ``P()``); ``out_batch_dims`` the same for the
+    output (an int, or a tuple for multiple outputs). The global batch is
+    read off the first mapped arg. ``fold_rng_arg`` names an arg holding a
+    PRNG key to ``fold_in`` with the shard index inside the manual region,
+    decorrelating in-kernel dropout streams whose program-id counter
+    restarts at 0 on every shard.
+    """
+    import jax
+
+    if jax.device_count() <= 1:
+        return fn(*args)
+    first = next(i for i, d in enumerate(batch_dims) if d is not None)
+    batch = args[first].shape[batch_dims[first]]
+    km = batch_mappable_mesh(batch, tile=tile)
+    if km is None:
+        return None
+
+    from jax.sharding import PartitionSpec as P
+
+    def spec(d):
+        return P() if d is None else P(*([None] * d + [km.batch_axis]))
+
+    in_specs = tuple(spec(d) for d in batch_dims)
+    out_specs = (
+        spec(out_batch_dims)
+        if isinstance(out_batch_dims, int)
+        else tuple(spec(d) for d in out_batch_dims)
+    )
+    inner = fn
+    if fold_rng_arg is not None:
+
+        def inner(*a):
+            a = list(a)
+            a[fold_rng_arg] = jax.random.fold_in(
+                a[fold_rng_arg], jax.lax.axis_index(km.batch_axis)
+            )
+            return fn(*a)
+
+    return jax.shard_map(
+        inner,
+        mesh=km.mesh,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        check_vma=False,
+    )(*args)
+
+
 @contextmanager
 def kernel_mesh(mesh: Mesh | None, **kwargs):
     """Scoped registration (tests / library callers)."""

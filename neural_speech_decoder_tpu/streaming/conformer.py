@@ -109,6 +109,11 @@ class ConformerStreamer:
         )
         self._affine, self._prep = self._build_prep()
         self._steps: dict[int, callable] = {}
+        # steady bin-residual width -> jitted single-dispatch step. Lives
+        # in __init__ (like GRUStreamer's, engine.py:94) so the compiled
+        # fast path survives per-utterance reset() calls — recompiling it
+        # every utterance would cost a full re-trace per stream restart.
+        self._fused_cache: dict = {}
         self.reset()
 
     # -- state ------------------------------------------------------------
@@ -138,7 +143,6 @@ class ConformerStreamer:
         # single-dispatch fast path (engaged once the stream is steady):
         # (raw_ctx, bin_ctx, caches, offset) carried on device
         self._fast_state = None
-        self._fused_cache: dict = {}
         self._beam_state = None
 
     # -- jitted pieces ------------------------------------------------------

@@ -162,6 +162,23 @@ def test_fused_fast_path_matches_offline(setup):
     got = np.concatenate(outs, axis=1)
     assert engaged, "fast path never engaged"
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+    # the compiled fused step must survive reset() (per-utterance servers
+    # reset between utterances; recompiling each time would cost a full
+    # re-trace) and still produce the offline stream on the next utterance
+    assert st._fused_cache, "fused step was never cached"
+    cached = dict(st._fused_cache)
+    st.reset()
+    assert st._fused_cache == cached
+    outs = []
+    for i in range(0, x.shape[1] - (x.shape[1] % fast_n), fast_n):
+        outs.append(np.asarray(st.process_async(x[:, i: i + fast_n])))
+    tail = x[:, x.shape[1] - (x.shape[1] % fast_n):]
+    if tail.shape[1]:
+        outs.append(st.process(tail))
+    outs.append(st.flush())
+    np.testing.assert_allclose(
+        np.concatenate(outs, axis=1), ref, atol=2e-5, rtol=1e-5
+    )
 
 
 def test_streaming_beam_chains_on_device(setup):

@@ -40,7 +40,9 @@ def _tp_mesh():
 # ---------------------------------------------------------------- GRU scan
 
 
-def _gru_case(seed=0, l=5, d=2, b=32, h=128):
+def _gru_case(seed=0, l=5, d=2, b=64, h=128):
+    # b=64 over the 4-shard data mesh = 16 rows/shard — the scan kernel's
+    # per-SHARD batch tile now enforced by batch_shard_mapped(tile=16)
     rng = np.random.default_rng(seed)
     xp = jnp.asarray(rng.standard_normal((l, d, b, 3 * h)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((d, h, 3 * h)).astype(np.float32) * 0.2)
@@ -162,7 +164,10 @@ def test_ctc_kernel_sharded_matches_optax():
     from neural_speech_decoder_tpu.ops.ctc import ctc_loss
 
     rng = np.random.default_rng(2)
-    b, t, u, k = 8, 24, 6, 12
+    # b=32 over the 4-shard mesh = 8 rows/shard (the CTC kernel's
+    # per-shard tile); an undersized batch would now silently fall back
+    # to optax and this test would compare optax to itself
+    b, t, u, k = 32, 24, 6, 12
     logits = jnp.asarray(rng.standard_normal((b, t, k)).astype(np.float32))
     log_probs = jax.nn.log_softmax(logits, axis=-1)
     in_lens = jnp.asarray(rng.integers(u + 3, t + 1, size=b), jnp.int32)
@@ -176,6 +181,7 @@ def test_ctc_kernel_sharded_matches_optax():
                                     use_kernel=False))
     )(log_probs)
     with kernel_mesh(_data_mesh()):
+        assert kernel_batch_shards(b, tile=8) == 4  # kernel path is live
         ours = ctc_loss(*args, reduction="none", use_kernel=True)
         # jit matches production (the trainer's loss runs inside the
         # jitted step); EAGER grad-of-shard_map trips a JAX 0.9

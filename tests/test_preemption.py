@@ -79,6 +79,9 @@ def test_signal_checkpoints_and_resumes(tmp_path, sig, capsys):
 
     stop_step = summary.get("summary/preempted_at")
     assert stop_step is not None and 0 < stop_step < 500_000
+    # the preempted summary must stay rankable by sweep drivers
+    # (parallel/sweep.py sorts on this key; ADVICE r2, medium)
+    assert np.isfinite(summary["summary/best_cer"])
     ckpt = CheckpointManager(out)
     assert ckpt.exists("lastState")
     side = ckpt.load_sidecar()
