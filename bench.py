@@ -224,13 +224,61 @@ def main() -> None:
     )
 
 
+def _wait_for_tpu(budget_s: float = 1500.0) -> None:
+    """Block until the axon TPU tunnel answers a trivial request.
+
+    The tunnel's failure mode during outages is a HANG (jax backend init
+    never returns), not an exception — so an in-process attempt would
+    wedge the benchmark beyond rescue. Probe from a killable subprocess
+    (it inherits the pinned JAX_PLATFORMS=axon, so it tests exactly the
+    backend the bench will use) and wait out transient outages within
+    ``budget_s``. Proceeds after the budget either way — the final
+    attempt then fails loudly rather than silently skipping the round's
+    metric."""
+    import subprocess
+
+    probe = ("import jax; print('tpu-ok', len(jax.devices()))")
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=150,
+            )
+            if out.returncode == 0 and "tpu-ok" in out.stdout:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            print(
+                f"TPU tunnel still unresponsive after {attempt} probes; "
+                f"proceeding anyway", file=sys.stderr,
+            )
+            return
+        print(
+            f"TPU tunnel probe {attempt} failed; retrying in 60 s",
+            file=sys.stderr,
+        )
+        time.sleep(60)
+
+
 if __name__ == "__main__":
-    # The remote TPU tunnel occasionally drops a request mid-compile; one
-    # retry rescues the benchmark instead of losing the round's metric.
-    try:
-        main()
-    except Exception as e:  # pragma: no cover
-        print(f"bench attempt 1 failed ({type(e).__name__}); retrying...",
-              file=sys.stderr)
-        time.sleep(30)
-        main()
+    # The remote TPU tunnel occasionally drops a request mid-compile (or
+    # hangs outright during outages); probe first, then retry the bench
+    # itself so a transient drop doesn't lose the round's metric.
+    _wait_for_tpu()
+    for attempt in (1, 2, 3):
+        try:
+            main()
+            break
+        except Exception as e:  # pragma: no cover
+            if attempt == 3:
+                raise
+            print(
+                f"bench attempt {attempt} failed ({type(e).__name__}); "
+                f"retrying...", file=sys.stderr,
+            )
+            time.sleep(60)
+            _wait_for_tpu(budget_s=600.0)
