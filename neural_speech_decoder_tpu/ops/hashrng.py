@@ -59,11 +59,19 @@ def keep_mask2d(seed, salt, shape, rate: float) -> jax.Array:
 
 
 def key_to_seed(key) -> jax.Array:
-    """Fold a JAX PRNG key (threefry or rbg) into an int32 scalar seed."""
-    kd = jax.random.key_data(key).astype(jnp.uint32)
-    folded = kd.reshape(-1)[0]
-    for i in range(1, kd.size):
-        folded = folded ^ kd.reshape(-1)[i]
+    """Fold a JAX PRNG key (threefry or rbg) into an int32 scalar seed.
+
+    The fold must be position-sensitive, not a plain XOR: rbg key_data is
+    the 2-word threefry data REPEATED (``[a, b, a, b]``), so a symmetric
+    XOR cancels to 0 for every rbg key — which would freeze the dropout
+    seed at 0 for the trainer's default ``rng_impl='rbg'`` keys (same
+    mask every step). A multiply between words breaks the cancellation.
+    """
+    kd = jax.random.key_data(key).astype(jnp.uint32).reshape(-1)
+    folded = jnp.uint32(0x9E3779B9)
+    for i in range(kd.size):
+        folded = (folded ^ kd[i]) * jnp.uint32(0x85EBCA6B)
+        folded = folded ^ jax.lax.shift_right_logical(folded, jnp.uint32(13))
     # uint32 → int32 bit reinterpretation (XLA-level; fine outside Mosaic)
     return jax.lax.bitcast_convert_type(folded, jnp.int32)
 
