@@ -38,14 +38,20 @@ COMPETITION_DAY_IDXS = [4, 5, 6, 7, 8, 9, 10, 12, 13, 14, 15, 16, 18, 19, 20]
 
 def collect_model_outputs(model_path, dataset_path=None, dataset=None,
                           partition="competition", batch_size=16,
-                          model_bundle=None):
+                          model_bundle=None, day_indices=None):
     """Run the trained model over the partition; returns the reference's
     ``rnn_outputs`` structure (logits, logitLengths, trueSeqs,
     transcriptions).
 
     ``model_bundle=(params, model)`` skips the run-dir load — used by
     ``scripts/parity_report.py`` to evaluate torch-imported weights that
-    never lived in a framework run directory."""
+    never lived in a framework run directory.
+
+    ``day_indices`` explicitly maps each partition day to its
+    day-specific-layer slot. Default (None) applies the reference's
+    competition-calendar heuristic (``COMPETITION_DAY_IDXS``) when it
+    fits — with a warning, since a non-reference dataset that happens to
+    satisfy the gate would silently get the wrong day embeddings."""
     import jax.numpy as jnp
 
     from ..data.batching import choose_envelope, eval_batches
@@ -60,7 +66,14 @@ def collect_model_outputs(model_path, dataset_path=None, dataset=None,
 
     day_list = raw[partition]
     n_train_days = len(raw["train"])
-    if (
+    if day_indices is not None:
+        if len(day_indices) != len(day_list):
+            raise ValueError(
+                f"day_indices has {len(day_indices)} entries for "
+                f"{len(day_list)} partition days"
+            )
+        day_idxs = list(day_indices)
+    elif (
         partition == "competition"
         and len(day_list) <= len(COMPETITION_DAY_IDXS)
         and max(COMPETITION_DAY_IDXS[: len(day_list)], default=0)
@@ -68,8 +81,21 @@ def collect_model_outputs(model_path, dataset_path=None, dataset=None,
     ):
         # Reference mapping: competition hold-out days index into the full
         # 24-day training calendar (eval_competition.py:45-47). Only valid
-        # when the model actually has those day slots.
+        # when the model actually has those day slots — and only CORRECT
+        # for the reference's competition pickle; warn so a non-reference
+        # dataset that happens to fit the gate doesn't silently evaluate
+        # with the wrong day embeddings.
         day_idxs = COMPETITION_DAY_IDXS[: len(day_list)]
+        import warnings
+
+        warnings.warn(
+            f"Applying the reference competition day mapping "
+            f"{day_idxs} for {len(day_list)} partition days over a "
+            f"{n_train_days}-day training calendar; pass day_indices= "
+            f"(CLI: --dayIndices) if this dataset is not the reference "
+            f"competition pickle.",
+            stacklevel=2,
+        )
     else:
         day_idxs = list(range(len(day_list)))
 
@@ -185,18 +211,36 @@ def run_pipeline(
 def _is_large_opt(llm_path: str, threshold: float = 1e9) -> bool:
     """True when the checkpoint is an OPT-family model over ~1B params —
     the scale where the streamed engine (llm_engine.py) replaces the
-    whole-model loader (jax_lm.py)."""
+    whole-model loader (jax_lm.py).
+
+    Misrouting a big model to the whole-model fp32 loader OOMs the host
+    far from the root cause, so failures here are loud: a missing
+    config.json returns False quietly (jax_lm will produce its own clear
+    error), but an unreadable/odd config warns before falling back.
+    Older HF exports omit ``model_type``; ``architectures`` covers them."""
     import json
 
+    cfg_path = os.path.join(llm_path, "config.json")
+    if not os.path.exists(cfg_path):
+        return False
     try:
-        with open(os.path.join(llm_path, "config.json")) as f:
+        with open(cfg_path) as f:
             c = json.load(f)
-        if c.get("model_type") != "opt":
+        archs = " ".join(c.get("architectures") or []).lower()
+        if c.get("model_type", "").lower() != "opt" and "opt" not in archs:
             return False
         d, ffn = c["hidden_size"], c["ffn_dim"]
         est = c["num_hidden_layers"] * (4 * d * d + 2 * d * ffn)
         return est > threshold
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"could not size the LLM checkpoint at {llm_path} "
+            f"({type(e).__name__}: {e}); assuming small — a reference-"
+            f"scale model will hit the whole-model loader and may OOM",
+            stacklevel=2,
+        )
         return False
 
 
@@ -229,10 +273,19 @@ def main() -> None:
                              "unset = lexicon-strict decoding")
     parser.add_argument("--decodeThreads", type=int, default=0,
                         help="OpenMP threads for batched decode (0 = all)")
+    parser.add_argument("--dayIndices", default=None,
+                        help="comma-separated day-layer slot per partition "
+                             "day (overrides the reference competition-"
+                             "calendar heuristic)")
     args = parser.parse_args()
 
+    day_indices = (
+        [int(s) for s in args.dayIndices.split(",")]
+        if args.dayIndices else None
+    )
     outputs = collect_model_outputs(
-        args.modelPath, args.datasetPath, partition=args.partition
+        args.modelPath, args.datasetPath, partition=args.partition,
+        day_indices=day_indices,
     )
     llm_scorer = None
     if args.llmPath:

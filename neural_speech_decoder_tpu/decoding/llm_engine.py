@@ -56,6 +56,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# One copy of the LN/activation primitives: the engine's forward is
+# documented (and parity-tested) as identical math to
+# jax_lm._forward_logits, so diverging private copies would break the
+# oracle relationship silently.
+from .jax_lm import _act, _layer_norm
+
 __all__ = [
     "EngineSpec",
     "OPT_SIZES",
@@ -384,19 +390,6 @@ def quantize_int8(params: dict) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _layer_norm(x, g, b, eps):
-    x = x.astype(jnp.float32)
-    mu = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * g + b
-
-
-def _act(x, name):
-    if name == "gelu":
-        return jax.nn.gelu(x, approximate=False)
-    if name == "relu":
-        return jax.nn.relu(x)
-    raise NotImplementedError(name)
 
 
 def _deq(p: dict, name: str, cdt):

@@ -77,10 +77,18 @@ def rescore_nbest(
     length_penalty: float = 0.0,
 ) -> list[str]:
     """Pick the best hypothesis per utterance under the blended score
-    (reference hyperparameters: ``alpha=0.5``, ``lengthPenalty=0``)."""
+    (reference hyperparameters: ``alpha=0.5``, ``lengthPenalty=0``).
+
+    Hypothesis word strings repeat heavily across an n-best list (distinct
+    phone segmentations of the same words survive the beam's
+    (phones, words) dedup), so the LLM — the expensive leg at OPT-6.7B
+    scale — scores each UNIQUE sentence once and the blend looks scores up
+    by text."""
     texts = [" ".join(h.words) for nb in nbest_lists for h in nb]
     if llm_scorer is not None and texts:
-        llm_scores = llm_scorer(texts)
+        unique = list(dict.fromkeys(texts))  # insertion-ordered dedup
+        by_text = dict(zip(unique, llm_scorer(unique)))
+        llm_scores = [by_text[t] for t in texts]
     else:
         llm_scores = [0.0] * len(texts)
     out = []
@@ -102,10 +110,18 @@ def rescore_nbest(
 
 
 def _rates(refs: list[str], hyps: list[str]) -> tuple[float, float]:
+    # zip would silently truncate a mismatched pairing and report a
+    # plausible-looking WER over the wrong pairs — make it loud instead
+    if len(refs) != len(hyps):
+        raise ValueError(
+            f"{len(refs)} references vs {len(hyps)} hypotheses"
+        )
     wd = wl = cd = cl = 0
     for r, h in zip(refs, hyps):
         rw, hw = r.split(), h.split()
-        wd += edit_distance(np.array(_ids(rw)), np.array(_ids(hw)))
+        # edit_distance only needs `!=` on elements — compare the word
+        # strings directly (a hashed-int mapping would admit collisions)
+        wd += edit_distance(rw, hw)
         wl += len(rw)
         cd += edit_distance(
             np.frombuffer(r.encode(), np.uint8),
@@ -113,10 +129,6 @@ def _rates(refs: list[str], hyps: list[str]) -> tuple[float, float]:
         )
         cl += len(r)
     return cd / max(cl, 1), wd / max(wl, 1)
-
-
-def _ids(words: list[str]) -> list[int]:
-    return [hash(w) & 0x7FFFFFFF for w in words]
 
 
 def evaluate_transcripts(

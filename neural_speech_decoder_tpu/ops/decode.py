@@ -46,9 +46,11 @@ def greedy_decode(
     return tokens, out_lens
 
 
-def edit_distance(a: np.ndarray, b: np.ndarray) -> int:
-    """Levenshtein distance (host-side), replacing the ``edit_distance``
-    package's ``SequenceMatcher.distance()`` used at
+def edit_distance(a, b) -> int:
+    """Levenshtein distance (host-side) over any element sequences
+    comparable with ``!=`` (int arrays, byte views, word-string lists),
+    replacing the ``edit_distance`` package's
+    ``SequenceMatcher.distance()`` used at
     ``neural_decoder_trainer.py:326-330``."""
     a = list(a)
     b = list(b)

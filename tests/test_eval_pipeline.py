@@ -179,3 +179,59 @@ def test_evaluate_transcripts_rates():
 
 def test_clean_transcription_matches_reference_rules():
     assert clean_transcription(" Hello, World!! -- ok ") == "hello world  ok"
+
+
+def test_rescore_nbest_scores_unique_sentences_once():
+    """The LLM leg (the expensive pass at 6.7B scale) must score each
+    unique word string once, not once per hypothesis repeat."""
+    nb = [
+        [
+            Hypothesis([1], ["bat"], 0.0, ac_score=-1.0, lm_score=0.0),
+            Hypothesis([1, 1], ["bat"], 0.0, ac_score=-1.2, lm_score=0.0),
+            Hypothesis([2], ["cat"], 0.0, ac_score=-1.5, lm_score=0.0),
+        ],
+        [
+            Hypothesis([2], ["cat"], 0.0, ac_score=-0.5, lm_score=0.0),
+        ],
+    ]
+    seen = []
+
+    def scorer(texts):
+        seen.append(list(texts))
+        return [10.0 if t == "cat" else 0.0 for t in texts]
+
+    assert rescore_nbest(nb, scorer, alpha=1.0) == ["cat", "cat"]
+    assert seen == [["bat", "cat"]]  # one call, deduped, order-stable
+
+
+def test_evaluate_transcripts_rejects_mismatched_pairing():
+    with pytest.raises(ValueError, match="references"):
+        evaluate_transcripts(["a", "b"], ["a"])
+
+
+def test_day_indices_override_and_heuristic_warning(trained_run):
+    model_path, data = trained_run
+    n_trials = sum(len(d["transcriptions"]) for d in data["competition"])
+    # explicit override: both competition days evaluated with day slot 0
+    out = collect_model_outputs(
+        model_path, dataset=data, partition="competition", batch_size=4,
+        day_indices=[0, 0],
+    )
+    assert len(out["logits"]) == n_trials
+    # mismatched override length is loud, not truncated
+    with pytest.raises(ValueError, match="day_indices"):
+        collect_model_outputs(
+            model_path, dataset=data, partition="competition",
+            day_indices=[0],
+        )
+    # the reference competition-calendar heuristic warns when it engages
+    # (6 train days makes max([4, 5]) < n_train_days hold)
+    from neural_speech_decoder_tpu.training.trainer import load_model
+
+    params, model, _ = load_model(model_path)
+    big = dict(data, train=data["train"] * 3)
+    with pytest.warns(UserWarning, match="competition day mapping"):
+        collect_model_outputs(
+            model_path, dataset=big, partition="competition", batch_size=4,
+            model_bundle=(params, model),
+        )
