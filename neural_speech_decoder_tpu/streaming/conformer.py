@@ -19,7 +19,11 @@ offline forward **incrementally**, chunk-boundary-invariantly:
 
 ``flush()`` applies the offline right-padding semantics so a fully
 streamed utterance matches ``conformer_forward`` on the same causal
-config to fp32 round-off (pinned by ``tests/test_conformer_streaming.py``).
+config to fp32 round-off (pinned by ``tests/test_conformer_streaming.py``)
+over the frames it emits. The stream realizes exactly the reference CTC
+length ``(T - k) // s`` (``conformer_output_lengths``) via a one-frame
+holdback in ``_drain``, so streamed decodes match the trainer's eval
+decode rather than over-decoding a final frame the reference ignores.
 """
 
 from __future__ import annotations
@@ -201,8 +205,10 @@ class ConformerStreamer:
         nh = cfg.num_heads
         d = cfg.latent_dim
         dh = d // nh
+        # lc is both the KV-cache width AND the banded-mask horizon — the
+        # cache/mask invariant (cached keys cover exactly the attendable
+        # band) only holds because they are the same value
         lc = cfg.attn_left_context
-        l_att = cfg.attn_left_context
         kc = cfg.conv_kernel
         cdt = cfg.compute_dtype
         pe = self._pe
@@ -238,7 +244,7 @@ class ConformerStreamer:
 
             qpos = offset + jnp.arange(n_f)[:, None]           # [n_f, 1]
             kpos = offset - lc + jnp.arange(lc + n_f)[None, :]  # [1, lc+n_f]
-            ok = (kpos >= 0) & (kpos <= qpos) & (qpos - kpos <= l_att)
+            ok = (kpos >= 0) & (kpos <= qpos) & (qpos - kpos <= lc)
 
             new_k, new_v, new_cc = [], [], []
             for li, bp in enumerate(params["blocks"]):
@@ -271,8 +277,11 @@ class ConformerStreamer:
                 ).astype(z.dtype)
                 att = att.transpose(0, 2, 1, 3).reshape(b, n_f, d)
                 z = z + _linear(bp["attn"]["out"], att)
-                new_k.append(keys[:, :, -lc:])
-                new_v.append(vals[:, :, -lc:])
+                # positive-index slice: -lc: would keep the WHOLE buffer
+                # when lc == 0 (frame-local attention) and grow the cache
+                # every chunk (cf. the conv-context slice below)
+                new_k.append(keys[:, :, keys.shape[2] - lc:])
+                new_v.append(vals[:, :, vals.shape[2] - lc:])
                 # causal conv module with carried GLU context
                 h = _linear(bp["conv"]["pw1"],
                             _layer_norm(bp["conv"]["ln"], z))
@@ -352,7 +361,9 @@ class ConformerStreamer:
         k, s = self.cfg.temporal_kernel, self.cfg.temporal_stride
         n_f = self.frames_per_chunk
         w0 = self._bins.shape[1]
-        if self._raw.shape[1] == ks - 1 and k - s <= w0 < k + (n_f - 1) * s:
+        # steady residual sits in [k, k + n_f*s) under the one-frame
+        # holdback (see _drain) — the fused body is residual-agnostic
+        if self._raw.shape[1] == ks - 1 and k <= w0 < k + n_f * s:
             self._fast_state = (
                 jnp.asarray(self._raw),
                 jnp.asarray(self._bins, self.cfg.compute_dtype),
@@ -443,10 +454,17 @@ class ConformerStreamer:
             out.append(np.asarray(logp))
             self._bins = self._bins[:, nf * s:]
 
-        while self._bins.shape[1] >= k + (n_f - 1) * s:
+        # One-frame holdback: a frame is emitted only once a FURTHER frame
+        # is known to exist (its window plus one more stride of bins), and
+        # the flush tail stops at `k + s`, never emitting the final
+        # fitting frame — so the stream realizes exactly the reference
+        # CTC length (len - k) // s (conformer_output_lengths), one frame
+        # fewer than the unfold produces, matching the trainer's eval
+        # decode instead of over-decoding a frame the reference ignores.
+        while self._bins.shape[1] >= k + n_f * s:
             emit(n_f)
         if final:
-            while self._bins.shape[1] >= k:
+            while self._bins.shape[1] >= k + s:
                 emit(1)
         if out:
             return np.concatenate(out, axis=1)

@@ -19,7 +19,12 @@ chunk-boundary-invariantly, by:
     compiled path never re-traces regardless of how audio arrives.
 
 ``flush()`` applies the offline right-zero-padding semantics to the tail so
-a fully streamed utterance bit-matches the offline forward.
+a fully streamed utterance bit-matches the offline forward over the frames
+it emits. The stream realizes exactly the reference CTC length
+``(T - k) // s`` (``ops/unfold.py::ctc_input_lengths``) via a one-frame
+holdback in ``_drain`` — one frame fewer than the unfold produces — so
+streamed decodes match the trainer's eval decode rather than over-decoding
+a final frame the reference pipeline ignores.
 """
 
 from __future__ import annotations
@@ -100,10 +105,8 @@ class GRUStreamer:
         # Raw bins not yet smoothed-and-consumed. Seeded with the left zero
         # padding so smooth[0] sees the same window as the offline conv.
         self._raw = np.zeros((self.batch, self.pad_left, c), np.float32)
-        self._raw_valid = 0  # count of real (non-padding) bins in _raw
         # Smoothed+calibrated bins awaiting unfold consumption.
         self._bins = np.zeros((self.batch, 0, c), np.float32)
-        self._consumed0 = True  # no frames emitted yet
         self._h = jnp.zeros(
             (self.cfg.num_layers, self.batch, self.cfg.hidden_dim),
             self.cfg.compute_dtype,
@@ -260,7 +263,6 @@ class GRUStreamer:
         self._raw = np.concatenate(
             [self._raw, np.asarray(new_bins, np.float32)], axis=1
         )
-        self._raw_valid += new_bins.shape[1]
         out = self._drain()
         self._maybe_promote()
         return out
@@ -270,9 +272,11 @@ class GRUStreamer:
         k, s = self.cfg.kernel_len, self.cfg.stride_len
         n_f = self.frames_per_chunk
         w0 = self._bins.shape[1]
+        # steady residual sits in [k, k + n_f*s) under the one-frame
+        # holdback (see _drain) — the fused body is residual-agnostic
         if (
             self._raw.shape[1] == ks - 1
-            and k - s <= w0 < k + (n_f - 1) * s
+            and k <= w0 < k + n_f * s
         ):
             self._fast_state = (
                 jnp.asarray(self._raw),
@@ -318,14 +322,22 @@ class GRUStreamer:
         n_f = self.frames_per_chunk
         out = []
         need = k + (n_f - 1) * s
-        while self._bins.shape[1] >= need:
+        # One-frame holdback: a frame is emitted only once a FURTHER frame
+        # is known to exist (its window plus one more stride of bins), and
+        # the flush tail stops at `k + s`, never emitting the final
+        # fitting frame — so the stream realizes exactly the reference CTC
+        # length (len - k) // s (ops/unfold.py::ctc_input_lengths), one
+        # frame fewer than the unfold produces, matching the trainer's
+        # eval decode instead of over-decoding a frame the reference
+        # pipeline ignores.
+        while self._bins.shape[1] >= need + s:
             chunk = jnp.asarray(self._bins[:, :need])
             logits, self._h = gru_step(self._params, chunk, self._h)
             out.append(np.asarray(logits))
             self._bins = self._bins[:, n_f * s :]
-        if final and self._bins.shape[1] >= k:
+        if final and self._bins.shape[1] >= k + s:
             # Tail frames, one at a time (fewer than frames_per_chunk left).
-            while self._bins.shape[1] >= k:
+            while self._bins.shape[1] >= k + s:
                 chunk = jnp.asarray(self._bins[:, :k])
                 logits, self._h = self._single_frame(chunk)
                 out.append(np.asarray(logits))

@@ -252,9 +252,7 @@ def make_train_step(args: dict, model: ModelAPI, tx, schedule=None) -> Callable:
         and bool(args.get("fused_optimizer", False))
     ):
         if schedule is None:  # standalone callers (benches) omit it
-            from .optim import make_optimizer as _make_opt
-
-            _, schedule = _make_opt(args)
+            _, schedule = make_optimizer(args)
         fused_schedule = schedule
         fused_cfg = {
             "b1": 0.9,
@@ -325,13 +323,21 @@ def make_train_step(args: dict, model: ModelAPI, tx, schedule=None) -> Callable:
     return train_step
 
 
-def make_eval_step(model: ModelAPI) -> Callable:
+def make_eval_step(model: ModelAPI, args: dict | None = None) -> Callable:
+    # honor the same ctc_use_kernel override the training loss respects —
+    # a user who disabled (or forced) the Pallas CTC kernel must get that
+    # code path at BOTH ctc_loss call sites, not just the train step
+    use_kernel = (args or {}).get("ctc_use_kernel")
+
     @jax.jit
     def eval_step(params, x, y, x_lens, y_lens, days):
         log_probs, out_lens, _ = model.forward(
             params, x, days, x_lens, train=False, key=None
         )
-        per_seq = ctc_loss(log_probs, out_lens, y, y_lens, reduction="none")
+        per_seq = ctc_loss(
+            log_probs, out_lens, y, y_lens, reduction="none",
+            use_kernel=use_kernel,
+        )
         tokens, dec_lens = greedy_decode(log_probs, out_lens)
         return per_seq, tokens, dec_lens
 
@@ -499,7 +505,9 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
     # tensor parallelism via n_model_devices (Megatron-style weight sharding
     # from parallel/shardings.py; collectives inserted by XLA GSPMD).
     devices = jax.devices()
-    n_model = int(args.get("n_model_devices", 1))
+    # `or 1`: tolerate an explicit YAML null (`n_model_devices:`), like
+    # build_model and the n_data_devices line below do for the same knobs
+    n_model = int(args.get("n_model_devices") or 1)
     if n_model > len(devices):
         raise ValueError(
             f"n_model_devices={n_model} exceeds the {len(devices)} "
@@ -565,7 +573,7 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
             )
 
     train_step = make_train_step(args, model, tx, schedule)
-    eval_step = make_eval_step(model)
+    eval_step = make_eval_step(model, args)
     torch_mean = args.get("label_smoothing", 0.0) == 0
 
     n_batch = int(args["nBatch"])

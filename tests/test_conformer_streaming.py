@@ -60,7 +60,11 @@ def offline(params, x, cfg=CFG):
         params, cfg, jnp.asarray(x), jnp.asarray([0, 0]),
         None, train=False, key=None,
     )
-    return np.asarray(logp)
+    # trim to the reference CTC length (T-k)//s — the frame count the
+    # streamer realizes (one-frame holdback, streaming/conformer._drain)
+    # and the trainer's eval decodes
+    n = (x.shape[1] - cfg.temporal_kernel) // cfg.temporal_stride
+    return np.asarray(logp)[:, :n]
 
 
 def stream_all(params, x, bins_per_feed, frames_per_chunk=1):
@@ -241,3 +245,22 @@ def test_incremental_greedy_decode(setup):
     for b, seq in enumerate(st2.decode_greedy(st2.flush())):
         streamed[b].extend(seq)
     assert streamed == want
+
+
+def test_zero_left_context_streams(setup):
+    """attn_left_context=0 (frame-local attention): the KV cache must stay
+    width 0 across chunks — a negative-index roll (keys[:, :, -0:]) would
+    keep the whole buffer, growing state and breaking the mask shape on
+    the second chunk — and the stream must still match offline."""
+    params, x = setup
+    cfg0 = dataclasses.replace(CFG, attn_left_context=0)
+    ref = offline(params, x, cfg0)
+    st = ConformerStreamer(params, cfg0, day_idx=0, batch=x.shape[0],
+                           frames_per_chunk=2)
+    outs = []
+    for i in range(0, x.shape[1], 8):
+        outs.append(st.process(x[:, i: i + 8]))
+        assert st._caches[0].shape[3] == 0  # K cache width stays 0
+    outs.append(st.flush())
+    got = np.concatenate(outs, axis=1)
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)

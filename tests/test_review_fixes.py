@@ -43,6 +43,9 @@ def test_gru_streamer_zero_smooth_width_matches_offline():
     outs.append(st.flush())
     got = np.concatenate(outs, axis=1)
     assert np.all(np.isfinite(got))
+    # the stream realizes the reference CTC length (T-k)//s (one-frame
+    # holdback; streaming/engine._drain)
+    ref = ref[:, : (96 - cfg.kernel_len) // cfg.stride_len]
     # pre-fix: 1-tap kernel made the fused fast path re-emit old frames
     assert got.shape == ref.shape, (got.shape, ref.shape)
     np.testing.assert_allclose(got, ref, atol=1e-5)

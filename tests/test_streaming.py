@@ -56,8 +56,12 @@ def test_streaming_matches_offline(feed):
     outs.append(streamer.flush())
     streamed = np.concatenate(outs, axis=1)
 
-    assert streamed.shape == offline.shape
-    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+    # the stream realizes the reference CTC length (t-k)//s — one frame
+    # fewer than the offline forward's unfold produces; the trainer's eval
+    # decodes exactly this prefix (ops/unfold.py::ctc_input_lengths)
+    ref_len = (t - cfg.kernel_len) // cfg.stride_len
+    assert streamed.shape == offline[:, :ref_len].shape
+    np.testing.assert_allclose(streamed, offline[:, :ref_len], atol=1e-4)
 
 
 def test_streaming_emits_incrementally():
@@ -71,10 +75,14 @@ def test_streaming_emits_incrementally():
         )
         emitted += out.shape[1]
     # 40 bins fed; with 10-bin lookahead, 30 smoothed bins -> frames at
-    # stride 4 with kernel 8: floor((30-8)/4)+1 = 6 frames already out.
-    assert emitted == 6
+    # stride 4 with kernel 8 under the one-frame holdback (a frame emits
+    # once its window plus one more stride is present):
+    # floor((30-8-4)/4)+1 = 5 frames already out.
+    assert emitted == 5
     out = streamer.flush()
-    assert emitted + out.shape[1] == (40 - 8) // 4 + 1
+    # total realizes the reference CTC length (40-8)//4, not the unfold's
+    # (40-8)//4 + 1
+    assert emitted + out.shape[1] == (40 - 8) // 4
 
 
 def test_fast_path_engages_and_matches_offline():
@@ -94,7 +102,8 @@ def test_fast_path_engages_and_matches_offline():
     outs.append(s.flush())
     streamed = np.concatenate(outs, axis=1)
     assert engaged, "single-dispatch fast path never engaged"
-    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+    ref_len = (t - cfg.kernel_len) // cfg.stride_len
+    np.testing.assert_allclose(streamed, offline[:, :ref_len], atol=1e-4)
 
 
 def test_fast_path_demotes_on_odd_chunk():
@@ -115,7 +124,8 @@ def test_fast_path_demotes_on_odd_chunk():
     assert pos == t
     outs.append(s.flush())
     streamed = np.concatenate(outs, axis=1)
-    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+    ref_len = (t - cfg.kernel_len) // cfg.stride_len
+    np.testing.assert_allclose(streamed, offline[:, :ref_len], atol=1e-4)
 
 
 def test_incremental_greedy_decode_matches_offline():
@@ -133,8 +143,9 @@ def test_incremental_greedy_decode_matches_offline():
     streamed_tokens += s.decode_greedy(s.flush())[0]
 
     offline = gru_forward(params, cfg, jnp.asarray(x), jnp.asarray([0]))
+    # decode the reference CTC length, exactly like the trainer's eval
     toks, lens = greedy_decode(
-        offline, jnp.asarray([offline.shape[1]])
+        offline, jnp.asarray([(t - cfg.kernel_len) // cfg.stride_len])
     )
     np.testing.assert_array_equal(
         streamed_tokens, np.asarray(toks[0, : lens[0]])
@@ -281,7 +292,9 @@ def test_streaming_beam_decode_matches_offline_search():
     offline_logits = np.asarray(
         gru_forward(params, cfg, jnp.asarray(x), jnp.asarray([1, 1]))
     )
-    t_frames = offline_logits.shape[1]
+    # the stream realizes the reference CTC length, so the offline search
+    # must run over the same prefix (trainer-eval semantics)
+    t_frames = (t - cfg.kernel_len) // cfg.stride_len
     off_pref, off_lens, off_scores = jax.tree.map(
         np.asarray,
         prefix_beam_search(
