@@ -154,17 +154,19 @@ def _bwd_kernel(seed_ref, x_ref, scale_ref, bias_ref, w1_ref, b1_ref,
     sig = jax.nn.sigmoid(sc)
     h = sc * sig
     # forward's exact rounding sequence for the w2 operand: silu rounded
-    # to cdt, then the dropout scale applied and rounded again — `hq`
-    # must be bit-identical to what the forward multiplied by w2 (the f32
-    # `h` above keeps full precision for the silu-backward math).
+    # to cdt, then `hq * inv` multiplied IN cdt (a python-float scalar
+    # stays weak-typed, so the forward's bf16 multiply uses the
+    # bf16-rounded constant — an f32 multiply here would round ~13% of
+    # bf16 elements differently) and rounded again. `hq` must be
+    # bit-identical to what the forward multiplied by w2; the silu
+    # backward below reads sc/sig, not hq.
     hq = h.astype(cdt)
     if rate > 0.0:
         m1, m2 = _site_masks(
             [h.shape, (h.shape[0], d)], rate, seed_ref, pid, hw
         )
         inv = 1.0 / (1.0 - rate)
-        h = jnp.where(m1, h * inv, 0.0)
-        hq = jnp.where(m1, hq.astype(f32) * inv, 0.0).astype(cdt)
+        hq = jnp.where(m1, hq * inv, 0.0).astype(cdt)
 
     g = g_ref[0].astype(f32)
     if rate > 0.0:

@@ -136,12 +136,15 @@ def batch_shard_mapped(
     The shared body of the multi-device Pallas kernel wrappers
     (``models/gru.py``, ``models/conformer.py``, ``ops/ctc.py``):
 
-      * single device → plain ``fn(*args)``;
+      * single device → plain ``fn(*args)``; ``tile`` is NOT checked here
+        — the caller's own single-device shape gates (e.g. ``ctc_loss``'s
+        ``B % 8`` warning, ``_pallas_scan_gate``) remain responsible;
       * multi-device with a registered mesh whose batch axis covers ALL
         devices and splits the batch into per-shard multiples of ``tile``
         (the kernel's own batch tiling requirement — it applies to the
-        SHARD-LOCAL batch each device sees, so forced kernel flags can't
-        smuggle mis-tiled shapes past the gates) → ``fn`` inside a
+        SHARD-LOCAL batch each device sees, so on multi-device meshes a
+        forced kernel flag can't smuggle mis-tiled per-shard shapes past
+        the gate) → ``fn`` inside a
         fully-manual ``shard_map`` with ``check_vma=False`` (JAX 0.9
         partial-manual needs vma metadata Pallas out-shapes don't carry;
         full coverage of the mesh keeps the unmapped-operand transpose

@@ -208,3 +208,53 @@ def test_model_forward_force_matches_einsum_path():
     np.testing.assert_array_equal(np.asarray(ol_t), np.asarray(ol_k))
     np.testing.assert_allclose(np.asarray(lp_k), np.asarray(lp_t),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_dropout_dw2_operand_bit_parity():
+    """In bf16, the backward's dW2 must be BIT-identical to the dot of
+    the forward's exact w2 operand with the (kernel-rounded) cotangent.
+    The forward computes `h * inv` as a bf16 multiply by the bf16-rounded
+    inverse-keep constant (a python-float scalar stays weak-typed); an
+    f32 multiply by the full-precision constant in the backward rounds
+    ~13% of operand elements differently (regression: 320/2048 dW2
+    entries differed pre-fix). The VJP's returned grad is rounded to the
+    weight dtype (custom_vjp contract), so the reference rounds too."""
+    b, t, d, f = 2, 16, 32, 64
+    x, p = make_case(b=b, t=t, d=d, f=f, seed=7, dtype=jnp.bfloat16)
+    rate = 0.3  # 1/(1-rate) is not bf16-representable
+    key = jax.random.key(3)
+    seed = jax.random.randint(key, (1,), 0, jnp.iinfo(jnp.int32).max,
+                              dtype=jnp.int32)
+    m1, m2 = dropout_masks(b, t, d, f, seed, rate, interpret=True)
+    inv = 1.0 / (1 - rate)
+
+    y, vjp = jax.vjp(
+        lambda w2: _kern(x, dict(p, w2=w2), key, rate=rate, train=True),
+        p["w2"],
+    )
+    ct = jnp.ones_like(y)  # unit cotangent: dW2 depends only on hq and m2
+    gk = vjp(ct)[0]
+
+    # the forward kernel's exact w2-operand chain (bit-parity pinned by
+    # test_dropout_fwd_matches_oracle_with_extracted_masks for f32; the
+    # forward itself was verified bit-exact against this chain in bf16)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    xn = ((xf - mean) * jax.lax.rsqrt(var + 1e-5)
+          * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32))
+    s = jnp.einsum(
+        "btd,df->btf", xn.astype(jnp.bfloat16), p["w1"],
+        preferred_element_type=jnp.float32,
+    ) + p["b1"].astype(jnp.float32)
+    sb = s.astype(jnp.bfloat16).astype(jnp.float32)
+    hq = (sb * jax.nn.sigmoid(sb)).astype(jnp.bfloat16)
+    hq = jnp.where(m1, hq * inv, 0.0).astype(jnp.bfloat16)  # bf16 multiply
+
+    g = jnp.where(m2, ct.astype(jnp.float32) * inv, 0.0).astype(
+        jnp.bfloat16
+    )  # output-dropout scaled, rounded to cdt for the MXU dot
+    dw2_ref = jnp.einsum(
+        "btf,btd->fd", hq, g, preferred_element_type=jnp.float32
+    ).astype(jnp.bfloat16)
+    np.testing.assert_array_equal(np.asarray(gk), np.asarray(dw2_ref))
