@@ -208,16 +208,9 @@ struct ArpaLM {
     return true;
   }
 
-  double Score(const std::vector<int>& hist, int word) const {
-    if (word < 0) return std::log(1e-10);
-    size_t start = 0;
-    if (order > 1 && hist.size() > static_cast<size_t>(order - 1))
-      start = hist.size() - (order - 1);
-    std::vector<int> h(hist.begin() + start, hist.end());
-    return ScoreBackoff(h, word);
-  }
-
-  // For histories already trimmed to the last (order-1) ids.
+  // For histories already trimmed to the last (order-1) ids (HistCache
+  // maintains that invariant; an untrimmed Score() variant was removed as
+  // dead code — re-trim at the call site if one is ever needed).
   double ScoreTrimmed(const std::vector<int>& h, int word) const {
     if (word < 0) return std::log(1e-10);
     return ScoreBackoff(h, word);
@@ -266,10 +259,6 @@ struct Arena {
     return out;
   }
 
-  void Clear() {
-    nodes.clear();
-    dedup.clear();
-  }
 };
 
 // trie field values: >=0 = lexicon trie node (0 root); -1 = no lexicon;
@@ -342,17 +331,26 @@ struct Decoder {
   // 0 is the empty history.
   struct HistCache {
     std::vector<std::vector<int>> hist;  // index: words_node + 1
+    // Explicit computed flags: an EMPTY entry is a legitimate history
+    // (no-BOS LMs, order<=1), so emptiness cannot double as the
+    // "not computed" sentinel — with the old sentinel, a first query for
+    // a non-root node would resize hist and then early-return the
+    // still-uncomputed (empty) BOS entry from the recursion, silently
+    // dropping <s> from every LM score in the session.
+    std::vector<char> valid;
     const Decoder* d;
     const Arena* arena;
 
     const std::vector<int>& Get(int node) {
       size_t idx = static_cast<size_t>(node + 1);
-      if (idx < hist.size() && (idx == 0 || !hist[idx].empty() ||
-                                d->lm.order <= 1))
-        return hist[idx];
-      if (hist.size() <= idx) hist.resize(arena->nodes.size() + 1);
+      if (idx < valid.size() && valid[idx]) return hist[idx];
+      if (hist.size() <= idx) {
+        hist.resize(arena->nodes.size() + 1);
+        valid.resize(hist.size(), 0);
+      }
       if (node < 0) {
         if (d->lm.bos >= 0) hist[0] = {d->lm.bos};
+        valid[0] = 1;
         return hist[0];
       }
       const ChainNode& cn = arena->nodes[node];
@@ -361,8 +359,12 @@ struct Decoder {
       int keep = d->lm.order > 1 ? d->lm.order - 1 : 0;
       if (static_cast<int>(h.size()) > keep)
         h.erase(h.begin(), h.end() - keep);
-      if (hist.size() <= idx) hist.resize(idx + 1);
+      if (hist.size() <= idx) {
+        hist.resize(idx + 1);
+        valid.resize(hist.size(), 0);
+      }
       hist[idx] = std::move(h);
+      valid[idx] = 1;
       return hist[idx];
     }
   };
@@ -388,7 +390,7 @@ struct Decoder {
   // NOTE: fills in place (the HistCache holds a pointer to the session's
   // own words arena, so a Session must never be copied/moved after init).
   void InitSession(Session& ses) const {
-    ses.hc = HistCache{{}, this, &ses.words_arena};
+    ses.hc = HistCache{{}, {}, this, &ses.words_arena};
     State init;
     init.p_b = 0.0;
     init.trie = has_lexicon ? 0 : -1;

@@ -233,7 +233,8 @@ def sinusoidal_pos_encoding(max_len: int, d_model: int, dtype=jnp.float32):
     )
     pe = np.zeros((max_len, d_model), dtype=np.float32)
     pe[:, 0::2] = np.sin(position * div)
-    pe[:, 1::2] = np.cos(position * div)
+    # odd d_model: the cos track has one fewer column than div
+    pe[:, 1::2] = np.cos(position * div[: d_model // 2])
     return jnp.asarray(pe, dtype)
 
 
@@ -614,15 +615,21 @@ def conformer_frontend(params, cfg: ConformerConfig, x, key, train):
 
 
 def conformer_output_lengths(cfg: ConformerConfig, x_lens, actual_len):
-    """(len - k) // s clamped to the realized frame count
-    (transformer_ctc.py:431-440)."""
+    """(len - k) / s truncated toward zero, clamped to [0, realized frame
+    count] (transformer_ctc.py:431-440).
+
+    Truncation toward zero (not floor) mirrors the reference's float-div-
+    then-int-cast for sub-kernel utterances; the additional lower clamp to
+    0 is beyond-reference robustness — a negative length reaching
+    ``ctc_loss``/the pad mask would produce undefined values (the
+    reference would crash in torch CTC instead)."""
     if cfg.temporal_kernel > 0 and cfg.temporal_stride > 1:
-        out = ((x_lens - cfg.temporal_kernel) // cfg.temporal_stride).astype(
-            jnp.int32
-        )
+        diff = x_lens.astype(jnp.int32) - cfg.temporal_kernel
+        s = cfg.temporal_stride
+        out = jnp.where(diff >= 0, diff // s, -((-diff) // s))
     else:
         out = x_lens.astype(jnp.int32)
-    return jnp.clip(out, None, actual_len)
+    return jnp.clip(out, 0, actual_len)
 
 
 def conformer_forward(

@@ -30,13 +30,19 @@ def unfold_output_length(t: int, kernel: int, stride: int) -> int:
 
 
 def ctc_input_lengths(x_lens: jax.Array, kernel: int, stride: int) -> jax.Array:
-    """Reference CTC-input-length formula ``(len - k) // s``.
+    """Reference CTC-input-length formula ``(len - k) / s`` truncated
+    toward zero, clamped at 0.
 
     Matches ``neural_decoder_trainer.py:209`` (``((X_len - kernelLen) /
     strideLen).to(torch.int32)`` — float division then truncation toward
-    zero; inputs are non-negative post-subtraction in practice).
+    zero, NOT floor: a sub-kernel utterance gives e.g. -2, where floor
+    division would give -3). The lower clamp to 0 is beyond-reference
+    robustness — a negative length reaching ``ctc_loss`` would produce
+    undefined values (torch CTC would crash in the reference instead).
     """
-    return ((x_lens - kernel) // stride).astype(jnp.int32)
+    diff = x_lens.astype(jnp.int32) - kernel
+    out = jnp.where(diff >= 0, diff // stride, -((-diff) // stride))
+    return jnp.maximum(out, 0)
 
 
 def unfold(x: jax.Array, kernel: int, stride: int) -> jax.Array:

@@ -152,8 +152,12 @@ def main():
     results["peak_rss_mb"] = round(rss_mb(), 1)
 
     # sanity: batch output consistent with serial for the first utterance
+    # (an empty n-best — every beam state at an incomplete trie node at
+    # truncation — is possible for synthetic data; don't crash post-timing)
     h0 = lm_decode(dec, lp[0], blank_penalty=bp)
-    assert batched[0][0].words == h0[0].words
+    assert bool(batched[0]) == bool(h0)
+    if batched[0]:
+        assert batched[0][0].words == h0[0].words
 
     print(json.dumps(results))
 

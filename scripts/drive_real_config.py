@@ -188,8 +188,13 @@ def main():
 
     per_after = float(run_eval())
     # windowed monotonicity: mean of each third strictly decreasing
-    thirds = np.array_split(np.asarray(losses), 3)
-    mono = thirds[0].mean() > thirds[1].mean() > thirds[2].mean()
+    # (an empty third's mean is NaN for <3 samples — fall back to a simple
+    # first-vs-last check on very short drives)
+    if len(losses) >= 3:
+        thirds = np.array_split(np.asarray(losses), 3)
+        mono = thirds[0].mean() > thirds[1].mean() > thirds[2].mean()
+    else:
+        mono = losses[0] > losses[-1]
     out = {
         "steps": args_cli.steps,
         "losses": losses,

@@ -244,6 +244,13 @@ def main(argv=None) -> dict:
           f"[reference point: neural_decoder_trainer.py:333]")
 
     # ---- 5. competition WER (optional) -----------------------------------
+    if args.lm and not args.lexicon:
+        # a lexicon-free decoder emits no words; the WER would read 1.0
+        # and masquerade as a measured parity number
+        raise SystemExit(
+            "--lm requires --lexicon: word-level WER needs the "
+            "lexicon-constrained decoder"
+        )
     if args.lm or args.lexicon:
         from neural_speech_decoder_tpu.decoding.eval_competition import (
             collect_model_outputs,

@@ -185,3 +185,37 @@ def test_jax_scorer_truncation_warns():
     with pytest.warns(UserWarning, match="position table"):
         score(["w " * 12])
     assert shapes[-1] == (4, 8)
+
+
+def test_ctc_lengths_clamp_sub_kernel_utterances():
+    """Utterances shorter than the unfold kernel must yield CTC length 0,
+    not a negative value that poisons ctc_loss and the pad mask."""
+    import jax.numpy as jnp
+
+    from neural_speech_decoder_tpu.models.conformer import (
+        ConformerConfig,
+        conformer_output_lengths,
+    )
+    from neural_speech_decoder_tpu.ops.unfold import ctc_input_lengths
+
+    lens = jnp.asarray([21, 31, 32, 33, 100], jnp.int32)
+    out = np.asarray(ctc_input_lengths(lens, 32, 4))
+    np.testing.assert_array_equal(out, [0, 0, 0, 0, 17])
+
+    cfg = ConformerConfig(temporal_kernel=32, temporal_stride=4)
+    out = np.asarray(conformer_output_lengths(cfg, lens, 100))
+    np.testing.assert_array_equal(out, [0, 0, 0, 0, 17])
+
+
+def test_sinusoidal_pos_encoding_odd_dim():
+    from neural_speech_decoder_tpu.models.conformer import (
+        sinusoidal_pos_encoding,
+    )
+
+    for d in (7, 129):
+        pe = np.asarray(sinusoidal_pos_encoding(16, d))
+        assert pe.shape == (16, d)
+        assert np.all(np.isfinite(pe))
+        # even (sin) track has ceil(d/2) columns, odd (cos) track d//2
+        np.testing.assert_allclose(pe[0, 0::2], 0.0)  # sin(0)
+        np.testing.assert_allclose(pe[0, 1::2], 1.0)  # cos(0)
