@@ -264,3 +264,26 @@ def test_zero_left_context_streams(setup):
     outs.append(st.flush())
     got = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_random_chunk_pattern_fuzz(setup, seed):
+    """Differential fuzz: random chunk-size sequences (1..13 bins, with
+    fast-path promote/demote transitions) must reproduce the offline
+    causal forward over the reference CTC length."""
+    params, _ = setup
+    rng = np.random.default_rng(200 + seed)
+    t = int(rng.integers(64, 128))
+    x = rng.standard_normal((2, t, CFG.n_channels)).astype(np.float32)
+    ref = offline(params, x)
+    st = ConformerStreamer(params, CFG, day_idx=0, batch=2,
+                           frames_per_chunk=int(rng.integers(1, 4)))
+    outs, pos = [], 0
+    while pos < t:
+        n = int(rng.integers(1, 14))
+        outs.append(st.process(x[:, pos: pos + n]))
+        pos += n
+    outs.append(st.flush())
+    got = np.concatenate(outs, axis=1)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)

@@ -336,3 +336,29 @@ def test_streaming_beam_reset_clears_state():
     again = jax.tree.map(np.asarray, streamer.decode_beam(out2))
     np.testing.assert_array_equal(first[0], again[0])
     np.testing.assert_allclose(first[2], again[2], atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_chunk_pattern_fuzz(seed):
+    """Differential fuzz: ANY chunk-size sequence (1..17 bins, including
+    promote/demote transitions through the fast path) must reproduce the
+    offline forward over the reference CTC length."""
+    params, cfg = make_model()
+    rng = np.random.default_rng(100 + seed)
+    t = int(rng.integers(60, 140))
+    x = rng.standard_normal((2, t, cfg.neural_dim)).astype(np.float32)
+    offline = np.asarray(
+        gru_forward(params, cfg, jnp.asarray(x), jnp.asarray([1, 1]))
+    )
+    s = GRUStreamer(params, cfg, day_idx=1, batch=2,
+                    frames_per_chunk=int(rng.integers(1, 4)))
+    outs, pos = [], 0
+    while pos < t:
+        n = int(rng.integers(1, 18))
+        outs.append(s.process(x[:, pos: pos + n]))
+        pos += n
+    outs.append(s.flush())
+    streamed = np.concatenate(outs, axis=1)
+    ref_len = (t - cfg.kernel_len) // cfg.stride_len
+    assert streamed.shape[1] == ref_len
+    np.testing.assert_allclose(streamed, offline[:, :ref_len], atol=1e-4)
