@@ -161,3 +161,44 @@ def test_conformer_export_loads_into_reference_and_matches_logits():
         jnp.asarray(lens),
     )
     np.testing.assert_allclose(np.asarray(lp), ref, atol=3e-5, rtol=1e-5)
+
+
+def test_export_cli_end_to_end(tmp_path):
+    """scripts/export_checkpoint.py: run-dir -> torch file the reference
+    loads with strict=True."""
+    import runpy
+    import sys
+
+    from neural_speech_decoder_tpu.data.synthetic import synthetic_dataset
+    from neural_speech_decoder_tpu.training import train_model
+
+    out = str(tmp_path / "run")
+    train_model({
+        "outputDir": out,
+        "dataset": synthetic_dataset(seed=3, n_days=2, trials_per_day=8,
+            n_channels=8, min_t=24, max_t=40, min_u=2, max_u=3),
+        "batchSize": 4, "lrStart": 0.01, "lrEnd": 0.01, "l2_decay": 0.0,
+        "nBatch": 3, "evalEvery": 2, "whiteNoiseSD": 0.0,
+        "constantOffsetSD": 0.0, "gaussianSmoothWidth": 2.0, "nUnits": 16,
+        "nLayers": 1, "nInputFeatures": 8, "nClasses": 40, "dropout": 0.0,
+        "strideLen": 2, "kernelLen": 4, "bidirectional": True, "seed": 0,
+        "wandb_mode": "disabled", "time_multiple": 16,
+    })
+    dst = str(tmp_path / "modelWeights")
+    sys.path.insert(0, "scripts")
+    try:
+        mod = runpy.run_path("scripts/export_checkpoint.py",
+                             run_name="not_main")
+        mod["main"]([out, dst])
+    finally:
+        sys.path.remove("scripts")
+
+    ref_model, _, _ = load_reference()
+    import torch
+
+    m = ref_model.GRUDecoder(
+        device="cpu", neural_dim=8, n_classes=40, hidden_dim=16,
+        layer_dim=1, nDays=2, dropout=0.0, strideLen=2, kernelLen=4,
+        gaussianSmoothWidth=2.0, bidirectional=True,
+    )
+    m.load_state_dict(torch.load(dst), strict=True)
