@@ -4,11 +4,13 @@ AdamW/warmup-cosine + grad clipping, end-to-end through train_model."""
 import pickle
 
 import numpy as np
+import pytest
 
 from neural_speech_decoder_tpu.data.synthetic import synthetic_dataset
 from neural_speech_decoder_tpu.training.trainer import train_model
 
 
+@pytest.mark.slow
 def test_conformer_training_smoke(tmp_path):
     args = {
         "outputDir": str(tmp_path / "conf"),

@@ -68,6 +68,7 @@ def make_session(path, n_trials, seed, t_per_phone=10, n_cols=192):
     })
 
 
+@pytest.mark.slow
 def test_formatted_data_trains(tmp_path, monkeypatch):
     monkeypatch.setattr(formatter, "make_g2p", lambda: stub_g2p)
     g2p = stub_g2p

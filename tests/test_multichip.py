@@ -12,6 +12,7 @@ def test_eight_virtual_devices_present():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("n", [2, 4, 8])
 def test_dryrun_multichip(n):
     import sys, os

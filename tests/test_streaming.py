@@ -187,6 +187,7 @@ def test_reset_decode_state():
     np.testing.assert_array_equal(s._decode_prev, [-1])
 
 
+@pytest.mark.slow
 def test_causal_mode_accuracy_cost():
     """Quantify the PER cost of causal=True (zero lookahead) vs the 10-bin
     lookahead mode on a synthetic-trained unidirectional model.

@@ -1,6 +1,7 @@
 """Tensor-parallel training parity on the virtual CPU mesh."""
 
 import numpy as np
+import pytest
 
 from neural_speech_decoder_tpu.data.synthetic import synthetic_dataset
 from neural_speech_decoder_tpu.training.trainer import train_model
@@ -56,6 +57,7 @@ def test_dp_x_tp_matches_single_device(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_tp_resume_preserves_training(tmp_path):
     """Interrupt + resume under TP must reproduce the uninterrupted TP
     run exactly (and must not silently drop the Megatron shardings —
@@ -152,6 +154,7 @@ def test_qkv_interleave_roundtrip_and_logit_parity():
     np.testing.assert_array_equal(np.asarray(got_lens), np.asarray(ref_lens))
 
 
+@pytest.mark.slow
 def test_conformer_head_tp_matches_single_device(tmp_path):
     """Conformer training over a 2x2 (data x model) mesh with head-parallel
     MHSA must match the single-device run (same seeds, same batches)."""
@@ -177,6 +180,7 @@ def test_conformer_head_tp_matches_single_device(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
+@pytest.mark.slow
 def test_conformer_tp_smoke(tmp_path):
     s = run(
         tmp_path,
