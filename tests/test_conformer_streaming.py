@@ -174,12 +174,17 @@ def test_fused_fast_path_matches_offline(setup):
     st.reset()
     assert st._fused_cache == cached
     outs = []
+    engaged2 = False
     for i in range(0, x.shape[1] - (x.shape[1] % fast_n), fast_n):
         outs.append(np.asarray(st.process_async(x[:, i: i + fast_n])))
+        engaged2 = engaged2 or st._fast_state is not None
     tail = x[:, x.shape[1] - (x.shape[1] % fast_n):]
     if tail.shape[1]:
         outs.append(st.process(tail))
     outs.append(st.flush())
+    # without this, the slow drain path could silently substitute for the
+    # cached fused step on the replay and the comparison would still pass
+    assert engaged2, "fast path did not re-engage after reset()"
     np.testing.assert_allclose(
         np.concatenate(outs, axis=1), ref, atol=2e-5, rtol=1e-5
     )
@@ -260,7 +265,11 @@ def test_zero_left_context_streams(setup):
     outs = []
     for i in range(0, x.shape[1], 8):
         outs.append(st.process(x[:, i: i + 8]))
-        assert st._caches[0].shape[3] == 0  # K cache width stays 0
+        # check the LIVE cache: once the fast path promotes, the carried
+        # caches live in _fast_state and st._caches is a stale snapshot
+        kv_k = (st._fast_state[2][0] if st._fast_state is not None
+                else st._caches[0])
+        assert kv_k.shape[3] == 0  # K cache width stays 0
     outs.append(st.flush())
     got = np.concatenate(outs, axis=1)
     np.testing.assert_allclose(got, ref, atol=2e-5, rtol=1e-5)

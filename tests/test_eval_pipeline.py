@@ -218,6 +218,20 @@ def test_day_indices_override_and_heuristic_warning(trained_run):
         day_indices=[0, 0],
     )
     assert len(out["logits"]) == n_trials
+    # the override must actually change the day embeddings: identity
+    # mapping [0, 1] equals the default path; [0, 0] differs on the
+    # second day's trials (trained day weights diverge across days)
+    base = collect_model_outputs(
+        model_path, dataset=data, partition="competition", batch_size=4,
+    )
+    ident = collect_model_outputs(
+        model_path, dataset=data, partition="competition", batch_size=4,
+        day_indices=[0, 1],
+    )
+    np.testing.assert_allclose(ident["logits"][-1], base["logits"][-1],
+                               atol=1e-6)
+    assert not np.allclose(out["logits"][-1], base["logits"][-1],
+                           atol=1e-4)
     # mismatched override length is loud, not truncated
     with pytest.raises(ValueError, match="day_indices"):
         collect_model_outputs(

@@ -201,4 +201,20 @@ def test_export_cli_end_to_end(tmp_path):
         layer_dim=1, nDays=2, dropout=0.0, strideLen=2, kernelLen=4,
         gaussianSmoothWidth=2.0, bidirectional=True,
     )
-    m.load_state_dict(torch.load(dst), strict=True)
+    sd = torch.load(dst)
+    m.load_state_dict(sd, strict=True)
+    # value-level check: the CLI exported THIS run's trained weights (a
+    # stale/init checkpoint or swapped same-shape tensor would still
+    # strict-load) — compare against the run directory's params
+    from neural_speech_decoder_tpu.training.trainer import load_model
+
+    params, _, _ = load_model(out)
+    np.testing.assert_allclose(
+        sd["fc_decoder_out.weight"].numpy(),
+        np.asarray(params["fc"]["weight"]).T,
+        atol=0,
+    )
+    np.testing.assert_allclose(
+        sd["dayWeights"].numpy(), np.asarray(params["day"]["weight"]),
+        atol=0,
+    )
