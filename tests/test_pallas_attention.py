@@ -187,35 +187,59 @@ def test_banded_matches_causal_conformer_attention():
         init_conformer_params,
     )
 
-    cfg = ConformerConfig(
-        n_channels=16, n_days=2, frontend_dim=16, latent_dim=16,
-        autoencoder_hidden_dim=12, num_layers=2, num_heads=2, ff_dim=16,
+    from jax.sharding import Mesh
+
+    from neural_speech_decoder_tpu.models.conformer import (
+        _use_fused_attention,
+    )
+    from neural_speech_decoder_tpu.parallel.kernel_mesh import (
+        batch_mappable_mesh,
+        kernel_mesh,
+    )
+
+    # dh must be 128 for the fused path's shape gate — use latent 256/2
+    # heads so the MODEL-level kernel path actually runs (a smaller model
+    # would silently take the einsum path for both configs)
+    base = dict(
+        n_channels=16, n_days=2, frontend_dim=32, latent_dim=256,
+        autoencoder_hidden_dim=24, num_layers=2, num_heads=2, ff_dim=32,
         dropout=0.0, temporal_kernel=8, temporal_stride=4, conv_kernel=5,
         use_spec_augment=False, drop_path_prob=0.0, head_dropout=0.0,
         causal=True, attn_left_context=5,
     )
-    params = init_conformer_params(jax.random.key(0), cfg=cfg)
+    cfg_twin = ConformerConfig(**base, fused_attention=False)
+    cfg_kern = ConformerConfig(**base, fused_attention="force")
+    params = init_conformer_params(jax.random.key(0), cfg=cfg_twin)
+    b = jax.device_count()  # batch splits over the conftest mesh
     rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.standard_normal((2, 64, 16)), jnp.float32)
-    days = jnp.array([0, 1], jnp.int32)
-    lens = jnp.array([64, 48], jnp.int32)
-    ref, _, _ = conformer_forward(params, cfg, x, days, lens,
-                                  train=False, key=None)
-    # run the attention op both ways directly at the model's shapes
-    from neural_speech_decoder_tpu.ops.pallas.attention_kernel import (
-        fused_mhsa,
-        mhsa_reference,
+    x = jnp.asarray(rng.standard_normal((b, 64, 16)), jnp.float32)
+    days = jnp.asarray(rng.integers(0, 2, size=b), jnp.int32)
+    lens = jnp.asarray(rng.integers(40, 65, size=b), jnp.int32)
+    ref, ref_lens, _ = conformer_forward(params, cfg_twin, x, days, lens,
+                                         train=False, key=None)
+    t_frames = ref.shape[1]
+    mesh = Mesh(
+        np.array(jax.devices()).reshape(jax.device_count(), 1),
+        ("data", "model"),
     )
-
-    q, k, v = make_qkv(b=2, h=2, t=16, dh=8, seed=9)
-    out_lens = jnp.array([16, 11], jnp.int32)
-    band_kernel = fused_mhsa(q, k, v, out_lens, None, interpret=True,
-                             left_context=cfg.attn_left_context)
-    band_ref = mhsa_reference(q, k, v, out_lens,
-                              left_context=cfg.attn_left_context)
-    np.testing.assert_allclose(np.asarray(band_kernel),
-                               np.asarray(band_ref), rtol=1e-6, atol=1e-6)
-    assert np.all(np.isfinite(np.asarray(ref)))
+    with kernel_mesh(mesh):
+        # guard the silent einsum fallback: the gate must accept AND the
+        # mesh must map the batch, else this compares the twin to itself
+        assert _use_fused_attention(cfg_kern, t_frames, b)
+        if jax.device_count() > 1:
+            assert batch_mappable_mesh(b) is not None
+        got, got_lens, _ = conformer_forward(
+            params, cfg_kern, x, days, lens, train=False, key=None
+        )
+    np.testing.assert_array_equal(np.asarray(ref_lens),
+                                  np.asarray(got_lens))
+    # compare only valid frames: positions past each row's output length
+    # are padding, where the two lowerings legitimately diverge (the
+    # einsum path zeroes masked attention rows, the kernel computes them)
+    ref_np, got_np = np.asarray(ref), np.asarray(got)
+    for bi, n in enumerate(np.asarray(ref_lens)):
+        np.testing.assert_allclose(got_np[bi, :n], ref_np[bi, :n],
+                                   rtol=1e-4, atol=1e-5)
 
 
 # ---------------------------------------------- qkv-layout production API

@@ -114,7 +114,10 @@ def test_ondevice_beam_lens_capped_at_max_len():
         jnp.asarray(lp), jnp.array([t], jnp.int32), beam_width=4,
         top_k_tokens=3,
     )
-    # unconstrained search decodes ~24 labels; now re-run with a tiny cap
+    # the unconstrained search must actually decode past the cap, else
+    # the truncation assertions below would pass vacuously
+    assert int(np.max(np.asarray(lens))) > max_len
+    # now re-run with a tiny cap
     from neural_speech_decoder_tpu.decoding.ondevice_beam import (
         beam_extend,
         beam_finalize,
@@ -200,5 +203,11 @@ def test_fused_frontend_clamps_day_index():
     np.testing.assert_array_equal(
         np.asarray(got)[0], np.asarray(ref)[0]
     )  # 7 clips to 1
-    # -3 clips to 0 (just check finite / no OOB garbage)
-    assert np.all(np.isfinite(np.asarray(got)))
+    # -3 clips to 0 (NOT python-style wrap to -3 % nDays = 1): compare
+    # against an explicit day-0 evaluation, matching ops/day_affine's
+    # jnp.clip semantics
+    ref0 = fused_frontend(
+        x, w, b, jnp.array([0, 0], jnp.int32), kernel_size=5, sigma=1.0,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got)[1], np.asarray(ref0)[1])

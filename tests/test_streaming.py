@@ -180,9 +180,6 @@ def test_reset_decode_state():
     s.reset()
     second = run_once()
     assert first == second
-    assert np.array_equal(
-        s._decode_prev, np.full((1,), -1, np.int64)
-    ) or s._decode_prev is not None  # state exists after use
     s.reset()
     np.testing.assert_array_equal(s._decode_prev, [-1])
 
