@@ -36,6 +36,18 @@ def logits_for(phone_ids, t_per=3, k=41, seed=0, strength=6.0):
     return x - np.log(np.exp(x).sum(-1, keepdims=True))
 
 
+def test_reference_spelling_aliases():
+    """Reference call sites use trainModel/loadModel
+    (neural_decoder_trainer.py:61,390); the package exports those
+    spellings as aliases so migrating code keeps its imports verbatim."""
+    import neural_speech_decoder_tpu.training as training
+
+    assert training.trainModel is training.train_model
+    assert training.loadModel is training.load_model
+    assert "trainModel" in training.__all__
+    assert "loadModel" in training.__all__
+
+
 def test_beam_search_does_not_mutate_lexicon(tmp_path):
     from neural_speech_decoder_tpu.decoding.beam import beam_search
     from neural_speech_decoder_tpu.decoding.lexicon import Lexicon
