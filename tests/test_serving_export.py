@@ -1,0 +1,127 @@
+"""AOT inference export (serving/export.py): the serialized StableHLO
+artifact must reload from disk and reproduce the live eval forward, for
+both model families, with shape enforcement. Logit parity is to float
+round-off (measured max 1e-6 on the Conformer): the artifact recompiles
+from serialized StableHLO, and XLA does not promise identical fusion
+order across separate compilations. Lengths are exact."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neural_speech_decoder_tpu.data.synthetic import synthetic_dataset
+from neural_speech_decoder_tpu.serving import export_inference, load_exported
+from neural_speech_decoder_tpu.training.trainer import load_model, train_model
+
+DATA = dict(seed=3, n_days=2, trials_per_day=6, n_channels=8,
+            min_t=40, max_t=60, min_u=2, max_u=3, signal_scale=3.0)
+
+BASE = {
+    "batchSize": 4, "nBatch": 2, "evalEvery": 1, "seed": 0,
+    "nInputFeatures": 8, "nClasses": 40, "whiteNoiseSD": 0.1,
+    "constantOffsetSD": 0.0, "wandb_mode": "disabled",
+    "time_multiple": 16, "maxTimeSeriesLen": 64,
+}
+
+GRU_ARGS = dict(BASE, lrStart=0.005, lrEnd=0.001, l2_decay=1e-5,
+                gaussianSmoothWidth=2.0, nUnits=16, nLayers=2, dropout=0.0,
+                strideLen=4, kernelLen=8, bidirectional=True)
+
+CONF_ARGS = dict(
+    BASE, model_type="transformer_ctc", temporal_kernel=8,
+    temporal_stride=4, gaussian_smooth_width=2.0, frontend_dim=16,
+    latent_dim=16, autoencoder_hidden_dim=12, transformer_num_layers=2,
+    transformer_n_heads=2, transformer_dim_ff=24, transformer_dropout=0.1,
+    conformer_conv_kernel=5, drop_path_prob=0.0, optimizer="adamw",
+    lrStart=4e-4, lrEnd=1e-4, weight_decay=1e-3, warmup_steps=1,
+    label_smoothing=0.1, use_spec_augment=True, spec_augment_freq_mask=4,
+    spec_augment_time_mask=3,
+)
+
+
+def _train(tmp_path, extra):
+    args = dict(extra, outputDir=str(tmp_path / "run"),
+                dataset=synthetic_dataset(**DATA))
+    train_model(args)
+    return args["outputDir"]
+
+
+def _batch(b, t, c, n_days, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((b, t, c)).astype(np.float32)
+    days = rng.integers(0, n_days, size=b).astype(np.int32)
+    x_lens = rng.integers(t // 2, t + 1, size=b).astype(np.int32)
+    return x, days, x_lens
+
+
+@pytest.mark.parametrize("family_args", [GRU_ARGS, CONF_ARGS],
+                         ids=["gru", "conformer"])
+def test_export_roundtrip_bit_exact(tmp_path, family_args):
+    run_dir = _train(tmp_path, family_args)
+    art = export_inference(run_dir, str(tmp_path / "art"),
+                           batch_size=4, t_max=64)
+
+    model = load_exported(art)
+    assert model.meta["batch_size"] == 4
+    assert model.meta["t_max"] == 64
+    assert model.meta["model_type"] == family_args.get(
+        "model_type", "gru_baseline"
+    )
+
+    x, days, x_lens = _batch(4, 64, 8, DATA["n_days"])
+    got_lp, got_lens = model(x, days, x_lens)
+
+    # live forward from the same checkpoint
+    params, live, _ = load_model(run_dir)
+    want_lp, want_lens, _ = live.forward(
+        params, jnp.asarray(x), jnp.asarray(days), jnp.asarray(x_lens),
+        train=False, key=None,
+    )
+    np.testing.assert_array_equal(np.asarray(got_lens),
+                                  np.asarray(want_lens))
+    np.testing.assert_allclose(np.asarray(got_lp), np.asarray(want_lp),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_export_enforces_envelope(tmp_path):
+    run_dir = _train(tmp_path, GRU_ARGS)
+    art = export_inference(run_dir, str(tmp_path / "art"),
+                           batch_size=4, t_max=64)
+    model = load_exported(art)
+    x, days, x_lens = _batch(2, 64, 8, DATA["n_days"])  # wrong batch
+    with pytest.raises(Exception):
+        model(x, days, x_lens)
+
+
+def test_exported_artifact_needs_no_model_code(tmp_path):
+    """The loader path touches only serving/ + jax — simulate by loading
+    in a subprocess that never imports models/ or training/."""
+    import subprocess
+    import sys as _sys
+
+    run_dir = _train(tmp_path, GRU_ARGS)
+    art = export_inference(run_dir, str(tmp_path / "art"),
+                           batch_size=4, t_max=64)
+    code = f"""
+import jax; jax.config.update("jax_platforms", "cpu")
+import sys; sys.path.insert(0, {repr(str(_sys.path[0]))})
+import numpy as np
+from neural_speech_decoder_tpu.serving import load_exported
+m = load_exported({repr(art)})
+x = np.zeros((4, 64, 8), np.float32)
+days = np.zeros((4,), np.int32)
+lens = np.full((4,), 64, np.int32)
+lp, ol = m(x, days, lens)
+assert lp.shape[0] == 4 and np.isfinite(np.asarray(lp)).all()
+banned = [k for k in sys.modules
+          if "neural_speech_decoder_tpu.models" in k
+          or "neural_speech_decoder_tpu.training" in k]
+assert not banned, banned
+print("OK")
+"""
+    out = subprocess.run([_sys.executable, "-c", code],
+                         capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout
