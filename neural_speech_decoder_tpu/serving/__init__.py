@@ -1,3 +1,18 @@
-from .export import ExportedModel, export_inference, load_exported
+from .export import (
+    ExportedModel,
+    export_inference,
+    export_streaming,
+    export_streaming_params,
+    load_exported,
+)
+from .streaming import ExportedStreamer, load_exported_streamer
 
-__all__ = ["ExportedModel", "export_inference", "load_exported"]
+__all__ = [
+    "ExportedModel",
+    "ExportedStreamer",
+    "export_inference",
+    "export_streaming",
+    "export_streaming_params",
+    "load_exported",
+    "load_exported_streamer",
+]

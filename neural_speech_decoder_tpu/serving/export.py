@@ -138,3 +138,164 @@ class ExportedModel:
 
 def load_exported(art_dir: str) -> ExportedModel:
     return ExportedModel(art_dir)
+
+
+# -- streaming export --------------------------------------------------------
+
+_STREAM_PRIME = "stream_prime.shlo"
+_STREAM_STEP = "stream_step.shlo"
+_STREAM_META = "stream_meta.json"
+
+
+def export_streaming(
+    model_dir: str,
+    out_dir: str,
+    *,
+    day_idx: int = 0,
+    batch: int = 1,
+    frames_per_chunk: int = 1,
+    causal: bool = False,
+) -> str:
+    """Export the GRU streaming path as an AOT artifact.
+
+    Two functions are serialized, both traced from the SAME bodies the
+    live ``GRUStreamer`` runs (``streaming/engine.py``) so parity is by
+    construction:
+
+    - ``stream_prime.shlo``: ``(weights, raw0 [B, W, C]) ->
+      (raw_ctx, bin_ctx, h, logits [B, F, K])`` — consumes the first
+      ``W`` raw bins (left smoothing pad applied inside) and leaves the
+      stream in its steady state, emitting the first ``F`` frames;
+    - ``stream_step.shlo``: ``(weights, raw_ctx, bin_ctx, h, new
+      [B, n, C]) -> (raw_ctx', bin_ctx', h', logits [B, F, K])`` — the
+      single-dispatch steady-state chunk step (``n = stride * F`` raw
+      bins per call).
+
+    ``serving/streaming.py::ExportedStreamer`` drives these with only
+    numpy + jax at serving time (buffering, flush padding, and the
+    reference CTC-length truncation ``(T - kernel) // stride`` live
+    there). One artifact serves one ``(batch, frames_per_chunk,
+    day_idx)`` configuration.
+    """
+    from ..training.trainer import load_model
+
+    params, model, _args = load_model(model_dir)
+    return export_streaming_params(
+        params, model.config, out_dir, day_idx=day_idx, batch=batch,
+        frames_per_chunk=frames_per_chunk, causal=causal,
+    )
+
+
+def export_streaming_params(
+    params,
+    cfg,
+    out_dir: str,
+    *,
+    day_idx: int = 0,
+    batch: int = 1,
+    frames_per_chunk: int = 1,
+    causal: bool = False,
+) -> str:
+    """``export_streaming`` from an in-memory ``(params, GRUConfig)``
+    pair (the live ``GRUStreamer`` constructor's inputs)."""
+    from ..streaming.engine import GRUStreamer
+
+    st = GRUStreamer(
+        params, cfg, day_idx, batch=batch,
+        frames_per_chunk=frames_per_chunk, causal=causal,
+    )
+    k, s, n_f = cfg.kernel_len, cfg.stride_len, frames_per_chunk
+    ks = int(np.asarray(st._taps).shape[0])
+    pad_l = st.pad_left
+    c = cfg.neural_dim
+    n = s * n_f
+    # W raw bins leave exactly residual k smoothed bins after the first
+    # F frames: smoothed = pad_l + W - (ks-1) must equal k + n*1.
+    w_prime = k + n + (ks - 1) - pad_l
+    smooth_body = st._smooth_calibrate_body
+    gru_frames = st._gru_frames_fn
+    taps_pad_l = pad_l  # left zero seed, exactly GRUStreamer.reset()
+
+    leaves, treedef = jax.tree.flatten(params)
+
+    def _day(p):
+        return p["day"]["weight"][day_idx], p["day"]["bias"][day_idx]
+
+    def prime(weights, raw0):
+        p = jax.tree.unflatten(treedef, list(weights))
+        w_day, b_day = _day(p)
+        window = jnp.concatenate(
+            [jnp.zeros((batch, taps_pad_l, c), raw0.dtype), raw0], axis=1
+        )
+        cal = smooth_body(window, w_day, b_day)  # [B, k + n, C]
+        h0 = jnp.zeros(
+            (cfg.num_layers, batch, cfg.hidden_dim), cfg.compute_dtype
+        )
+        logits, h = gru_frames(p, cal[:, : k + (n_f - 1) * s], h0)
+        raw_ctx = window[:, window.shape[1] - (ks - 1):]
+        return raw_ctx, cal[:, n:], h, logits
+
+    def step(weights, raw_ctx, bin_ctx, h, new):
+        p = jax.tree.unflatten(treedef, list(weights))
+        w_day, b_day = _day(p)
+        window = jnp.concatenate([raw_ctx, new], axis=1)
+        cal = smooth_body(window, w_day, b_day)
+        bins = jnp.concatenate([bin_ctx, cal], axis=1)
+        logits, h = gru_frames(p, bins[:, : k + (n_f - 1) * s], h)
+        return (
+            window[:, window.shape[1] - (ks - 1):],
+            bins[:, n:],
+            h,
+            logits,
+        )
+
+    sds = lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype)
+    w_sds = tuple(sds(leaf) for leaf in leaves)
+    f32 = jnp.float32
+    prime_exp = jax_export.export(jax.jit(prime))(
+        w_sds, jax.ShapeDtypeStruct((batch, w_prime, c), f32)
+    )
+    hdt = jnp.dtype(cfg.compute_dtype)
+    step_exp = jax_export.export(jax.jit(step))(
+        w_sds,
+        jax.ShapeDtypeStruct((batch, ks - 1, c), f32),
+        jax.ShapeDtypeStruct((batch, k, c), f32),
+        jax.ShapeDtypeStruct((cfg.num_layers, batch, cfg.hidden_dim), hdt),
+        jax.ShapeDtypeStruct((batch, n, c), f32),
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, exp in ((_STREAM_PRIME, prime_exp), (_STREAM_STEP, step_exp)):
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+
+    arrs, dtypes = {}, []
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        dtypes.append(str(a.dtype))
+        if a.dtype == jnp.bfloat16:
+            a = a.astype(np.float32)
+        arrs[f"w{i:03d}"] = a
+    np.savez(os.path.join(out_dir, _WEIGHTS), **arrs)
+
+    meta = {
+        "kind": "gru_stream",
+        "batch": batch,
+        "frames_per_chunk": n_f,
+        "chunk_bins": n,
+        "prime_bins": w_prime,
+        "kernel_len": k,
+        "stride_len": s,
+        "smooth_taps": ks,
+        "n_channels": c,
+        "n_classes": cfg.n_out,
+        "day_idx": day_idx,
+        "causal": causal,
+        "n_leaves": len(leaves),
+        "leaf_dtypes": dtypes,
+        "platforms": list(step_exp.platforms),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _STREAM_META), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir

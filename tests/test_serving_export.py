@@ -125,3 +125,124 @@ print("OK")
                          capture_output=True, text=True, cwd="/root/repo")
     assert out.returncode == 0, out.stderr
     assert "OK" in out.stdout
+
+
+# -- streaming export --------------------------------------------------------
+
+def _stream_model(seed=0):
+    from neural_speech_decoder_tpu.models.gru import (
+        GRUConfig, init_gru_params,
+    )
+
+    cfg = GRUConfig(
+        neural_dim=12, n_classes=8, hidden_dim=16, num_layers=2, n_days=3,
+        dropout=0.0, stride_len=4, kernel_len=8, gaussian_smooth_width=2.0,
+        bidirectional=False,
+    )
+    params = init_gru_params(jax.random.key(seed), cfg)
+    params["day"]["weight"] = params["day"]["weight"] + 0.1 * (
+        jax.random.normal(jax.random.key(seed + 1),
+                          params["day"]["weight"].shape)
+    )
+    params["day"]["bias"] = 0.1 * jax.random.normal(
+        jax.random.key(seed + 2), params["day"]["bias"].shape
+    )
+    return params, cfg
+
+
+@pytest.mark.parametrize("feed", [1, 5, 8, 37])
+def test_exported_streamer_matches_offline(tmp_path, feed):
+    from neural_speech_decoder_tpu.models.gru import gru_forward
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_params, load_exported_streamer,
+    )
+
+    params, cfg = _stream_model()
+    art = export_streaming_params(
+        params, cfg, str(tmp_path / "sart"), day_idx=1, batch=2,
+        frames_per_chunk=2,
+    )
+    st = load_exported_streamer(art)
+
+    rng = np.random.default_rng(1)
+    t = 53
+    x = rng.standard_normal((2, t, cfg.neural_dim)).astype(np.float32)
+    offline = np.asarray(
+        gru_forward(params, cfg, jnp.asarray(x), jnp.asarray([1, 1]))
+    )
+    ref_len = (t - cfg.kernel_len) // cfg.stride_len
+
+    got = []
+    for i in range(0, t, feed):
+        got.append(st.feed(x[:, i : i + feed]))
+    got.append(st.flush())
+    streamed = np.concatenate(got, axis=1)
+    assert streamed.shape == offline[:, :ref_len].shape
+    np.testing.assert_allclose(streamed, offline[:, :ref_len], atol=1e-4)
+
+
+def test_exported_streamer_matches_live_streamer(tmp_path):
+    """Exported artifact vs the live GRUStreamer on the same stream,
+    including incremental greedy decodes."""
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_params, load_exported_streamer,
+    )
+    from neural_speech_decoder_tpu.streaming.engine import GRUStreamer
+
+    params, cfg = _stream_model(seed=4)
+    art = export_streaming_params(
+        params, cfg, str(tmp_path / "sart"), day_idx=0, batch=1,
+        frames_per_chunk=1,
+    )
+    exp = load_exported_streamer(art)
+    live = GRUStreamer(params, cfg, 0, batch=1, frames_per_chunk=1)
+
+    rng = np.random.default_rng(2)
+    t = 41
+    x = rng.standard_normal((1, t, cfg.neural_dim)).astype(np.float32)
+    exp_logits, live_logits = [], []
+    exp_ids, live_ids = [], []
+    for i in range(0, t, 4):
+        a = exp.feed(x[:, i : i + 4])
+        b = live.process(x[:, i : i + 4])
+        exp_logits.append(a); live_logits.append(b)
+        exp_ids[len(exp_ids):] = exp.decode_greedy(a)[0]
+        live_ids[len(live_ids):] = live.decode_greedy(b)[0]
+    a = exp.flush(); b = live.flush()
+    exp_logits.append(a); live_logits.append(b)
+    exp_ids[len(exp_ids):] = exp.decode_greedy(a)[0]
+    live_ids[len(live_ids):] = live.decode_greedy(b)[0]
+
+    ea = np.concatenate(exp_logits, axis=1)
+    la = np.concatenate(live_logits, axis=1)
+    assert ea.shape == la.shape
+    np.testing.assert_allclose(ea, la, atol=1e-4)
+    assert exp_ids == live_ids
+
+
+def test_exported_streamer_short_utterance(tmp_path):
+    """Utterance shorter than the prime window still flushes to exactly
+    the reference CTC length."""
+    from neural_speech_decoder_tpu.models.gru import gru_forward
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_params, load_exported_streamer,
+    )
+
+    params, cfg = _stream_model(seed=7)
+    art = export_streaming_params(
+        params, cfg, str(tmp_path / "sart"), day_idx=2, batch=1,
+        frames_per_chunk=4,
+    )
+    st = load_exported_streamer(art)
+    # prime needs k + 4*s + pad_r = 8 + 16 + 10 = 34 bins; feed only 17
+    t = 17
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((1, t, cfg.neural_dim)).astype(np.float32)
+    out = [st.feed(x), st.flush()]
+    streamed = np.concatenate(out, axis=1)
+    ref_len = (t - cfg.kernel_len) // cfg.stride_len
+    assert streamed.shape[1] == ref_len
+    offline = np.asarray(
+        gru_forward(params, cfg, jnp.asarray(x), jnp.asarray([2]))
+    )
+    np.testing.assert_allclose(streamed, offline[:, :ref_len], atol=1e-4)
