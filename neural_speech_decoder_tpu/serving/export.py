@@ -124,7 +124,10 @@ class ExportedModel:
             a = npz[f"w{i:03d}"]
             if dt == "bfloat16":
                 a = a.astype(jnp.bfloat16)
-            leaves.append(a)
+            # commit to device ONCE — numpy leaves would re-transfer the
+            # whole parameter set on every call (seconds through a remote
+            # TPU tunnel, milliseconds over PCIe — either way per-call)
+            leaves.append(jax.device_put(a))
         self._weights = tuple(leaves)
         # jit over Exported.call caches the executable across invocations
         self._call = jax.jit(self._exported.call)

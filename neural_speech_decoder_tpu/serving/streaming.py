@@ -50,7 +50,8 @@ class ExportedStreamer:
                 import jax.numpy as jnp
 
                 a = a.astype(jnp.bfloat16)
-            leaves.append(a)
+            # commit to device ONCE (numpy leaves re-transfer per call)
+            leaves.append(jax.device_put(a))
         self._weights = tuple(leaves)
         self.reset()
 
