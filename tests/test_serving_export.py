@@ -246,3 +246,27 @@ def test_exported_streamer_short_utterance(tmp_path):
         gru_forward(params, cfg, jnp.asarray(x), jnp.asarray([2]))
     )
     np.testing.assert_allclose(streamed, offline[:, :ref_len], atol=1e-4)
+
+
+def test_exported_streamer_feed_async(tmp_path):
+    """feed_async returns unsynced device arrays whose concatenation
+    equals the feed() path."""
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_params, load_exported_streamer,
+    )
+
+    params, cfg = _stream_model(seed=9)
+    art = export_streaming_params(
+        params, cfg, str(tmp_path / "sart"), day_idx=0, batch=1,
+        frames_per_chunk=2,
+    )
+    a, b = load_exported_streamer(art), load_exported_streamer(art)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, 48, cfg.neural_dim)).astype(np.float32)
+    via_feed = [a.feed(x[:, i : i + 6]) for i in range(0, 48, 6)]
+    via_async = []
+    for i in range(0, 48, 6):
+        via_async += [np.asarray(c) for c in b.feed_async(x[:, i : i + 6])]
+    fa = np.concatenate(via_feed + [a.flush()], axis=1)
+    fb = np.concatenate(via_async + [b.flush()], axis=1)
+    np.testing.assert_array_equal(fa, fb)
