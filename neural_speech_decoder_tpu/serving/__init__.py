@@ -2,6 +2,7 @@ from .export import (
     ExportedModel,
     export_inference,
     export_streaming,
+    export_streaming_conformer_params,
     export_streaming_params,
     load_exported,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "ExportedStreamer",
     "export_inference",
     "export_streaming",
+    "export_streaming_conformer_params",
     "export_streaming_params",
     "load_exported",
     "load_exported_streamer",

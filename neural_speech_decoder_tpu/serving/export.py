@@ -41,6 +41,21 @@ _WEIGHTS = "weights.npz"
 _META = "meta.json"
 
 
+def _save_weights(out_dir: str, leaves) -> list[str]:
+    """Write parameter leaves (flatten order) to ``weights.npz``; returns
+    the true dtype per leaf (bfloat16 is stored as float32 — npz has no
+    native bf16 encoding)."""
+    arrs, dtypes = {}, []
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        dtypes.append(str(a.dtype))
+        if a.dtype == jnp.bfloat16:
+            a = a.astype(np.float32)
+        arrs[f"w{i:03d}"] = a
+    np.savez(os.path.join(out_dir, _WEIGHTS), **arrs)
+    return dtypes
+
+
 def export_inference(
     model_dir: str,
     out_dir: str,
@@ -84,14 +99,7 @@ def export_inference(
     with open(os.path.join(out_dir, _BLOB), "wb") as f:
         f.write(exported.serialize())
 
-    arrs, dtypes = {}, []
-    for i, leaf in enumerate(leaves):
-        a = np.asarray(leaf)
-        dtypes.append(str(a.dtype))
-        if a.dtype == jnp.bfloat16:  # npz has no native bf16 encoding
-            a = a.astype(np.float32)
-        arrs[f"w{i:03d}"] = a
-    np.savez(os.path.join(out_dir, _WEIGHTS), **arrs)
+    dtypes = _save_weights(out_dir, leaves)
 
     meta = {
         "model_type": model.name,
@@ -179,10 +187,22 @@ def export_streaming(
     reference CTC-length truncation ``(T - kernel) // stride`` live
     there). One artifact serves one ``(batch, frames_per_chunk,
     day_idx)`` configuration.
+
+    Conformer checkpoints (``model_type=transformer_ctc``, which must be
+    ``causal=True``) export the analogous pair via
+    ``export_streaming_conformer_params``; their step additionally
+    carries KV/conv caches, the positional-encoding offset, and a
+    real-bin mask (flush padding must be zero in the day-affined domain
+    — see ``streaming/conformer.py::reset``).
     """
     from ..training.trainer import load_model
 
     params, model, _args = load_model(model_dir)
+    if model.name == "transformer_ctc":
+        return export_streaming_conformer_params(
+            params, model.config, out_dir, day_idx=day_idx, batch=batch,
+            frames_per_chunk=frames_per_chunk,
+        )
     return export_streaming_params(
         params, model.config, out_dir, day_idx=day_idx, batch=batch,
         frames_per_chunk=frames_per_chunk, causal=causal,
@@ -272,14 +292,7 @@ def export_streaming_params(
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(exp.serialize())
 
-    arrs, dtypes = {}, []
-    for i, leaf in enumerate(leaves):
-        a = np.asarray(leaf)
-        dtypes.append(str(a.dtype))
-        if a.dtype == jnp.bfloat16:
-            a = a.astype(np.float32)
-        arrs[f"w{i:03d}"] = a
-    np.savez(os.path.join(out_dir, _WEIGHTS), **arrs)
+    dtypes = _save_weights(out_dir, leaves)
 
     meta = {
         "kind": "gru_stream",
@@ -294,6 +307,139 @@ def export_streaming_params(
         "n_classes": cfg.n_out,
         "day_idx": day_idx,
         "causal": causal,
+        "n_leaves": len(leaves),
+        "leaf_dtypes": dtypes,
+        "platforms": list(step_exp.platforms),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _STREAM_META), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
+def export_streaming_conformer_params(
+    params,
+    cfg,
+    out_dir: str,
+    *,
+    day_idx: int = 0,
+    batch: int = 1,
+    frames_per_chunk: int = 1,
+) -> str:
+    """``export_streaming`` for the causal Conformer: prime/step pair
+    traced from the live ``ConformerStreamer`` bodies.
+
+    ``stream_prime.shlo``: ``(weights, raw0 [B,W,C], mask0 [W]) ->
+    (raw_ctx, bin_ctx, kv_k, kv_v, conv_ctx, log_probs [B,F,K])``;
+    ``stream_step.shlo``: ``(weights, raw_ctx, bin_ctx, kv_k, kv_v,
+    conv_ctx, offset i32, new [B,n,C], mask [n]) -> same``.
+
+    ``mask`` marks which of the raw bins are real (1.0) vs flush padding
+    (0.0): the offline forward zero-pads AFTER the day affine, so padded
+    bins must enter the smoother as affined-domain zeros — masking the
+    affined values reproduces that without a separate padded entry point
+    (``streaming/conformer.py::reset`` documents the domain).
+    """
+    from ..streaming.conformer import ConformerStreamer
+
+    st = ConformerStreamer(
+        params, cfg, day_idx, batch=batch, frames_per_chunk=frames_per_chunk
+    )
+    k, s, n_f = cfg.temporal_kernel, cfg.temporal_stride, frames_per_chunk
+    ks = st.k_smooth
+    pad_l = st.pad_left
+    c = cfg.n_channels
+    d = cfg.latent_dim
+    nl, nh = cfg.num_layers, cfg.num_heads
+    dh = d // nh
+    lc = cfg.attn_left_context
+    kc = cfg.conv_kernel
+    cdt = jnp.dtype(cfg.compute_dtype)
+    n = s * n_f
+    w_prime = k + n + (ks - 1) - pad_l
+
+    affine_body = st._affine_body
+    smooth_body = st._smooth_body
+    body = st._make_body(n_f)
+
+    leaves, treedef = jax.tree.flatten(params)
+
+    def _day(p):
+        return p["day"]["weight"][day_idx], p["day"]["bias"][day_idx]
+
+    def _zero_caches():
+        return (
+            jnp.zeros((nl, batch, nh, lc, dh), cdt),
+            jnp.zeros((nl, batch, nh, lc, dh), cdt),
+            jnp.zeros((nl, batch, kc - 1, d), cdt),
+        )
+
+    def prime(weights, raw0, mask0):
+        p = jax.tree.unflatten(treedef, list(weights))
+        w_day, b_day = _day(p)
+        aff = affine_body(raw0, w_day, b_day) * mask0[None, :, None].astype(
+            cdt
+        )
+        window = jnp.concatenate(
+            [jnp.zeros((batch, pad_l, c), cdt), aff], axis=1
+        )
+        sm = smooth_body(window)  # [B, k + n, C]
+        logp, caches = body(p, sm[:, : k + (n_f - 1) * s], _zero_caches(), 0)
+        raw_ctx = window[:, window.shape[1] - (ks - 1):]
+        return (raw_ctx, sm[:, n:]) + caches + (logp,)
+
+    def step(weights, raw_ctx, bin_ctx, kv_k, kv_v, conv_ctx, offset, new,
+             mask):
+        p = jax.tree.unflatten(treedef, list(weights))
+        w_day, b_day = _day(p)
+        aff = affine_body(new, w_day, b_day) * mask[None, :, None].astype(cdt)
+        window = jnp.concatenate([raw_ctx, aff], axis=1)
+        sm = smooth_body(window)
+        bins = jnp.concatenate([bin_ctx, sm], axis=1)
+        logp, caches = body(
+            p, bins[:, : k + (n_f - 1) * s], (kv_k, kv_v, conv_ctx), offset
+        )
+        raw_ctx = window[:, window.shape[1] - (ks - 1):]
+        return (raw_ctx, bins[:, n:]) + caches + (logp,)
+
+    sds = jax.ShapeDtypeStruct
+    w_sds = tuple(sds(np.asarray(leaf).shape, np.asarray(leaf).dtype)
+                  for leaf in leaves)
+    f32 = jnp.float32
+    prime_exp = jax_export.export(jax.jit(prime))(
+        w_sds, sds((batch, w_prime, c), f32), sds((w_prime,), f32)
+    )
+    step_exp = jax_export.export(jax.jit(step))(
+        w_sds,
+        sds((batch, ks - 1, c), cdt),
+        sds((batch, k, c), cdt),
+        sds((nl, batch, nh, lc, dh), cdt),
+        sds((nl, batch, nh, lc, dh), cdt),
+        sds((nl, batch, kc - 1, d), cdt),
+        sds((), jnp.int32),
+        sds((batch, n, c), f32),
+        sds((n,), f32),
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, exp in ((_STREAM_PRIME, prime_exp), (_STREAM_STEP, step_exp)):
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+    dtypes = _save_weights(out_dir, leaves)
+
+    meta = {
+        "kind": "conformer_stream",
+        "batch": batch,
+        "frames_per_chunk": n_f,
+        "chunk_bins": n,
+        "prime_bins": w_prime,
+        "kernel_len": k,
+        "stride_len": s,
+        "smooth_taps": ks,
+        "n_channels": c,
+        "n_classes": cfg.n_classes + 1,
+        "max_pos_len": cfg.max_pos_len,
+        "day_idx": day_idx,
         "n_leaves": len(leaves),
         "leaf_dtypes": dtypes,
         "platforms": list(step_exp.platforms),

@@ -36,8 +36,9 @@ class ExportedStreamer:
     def __init__(self, art_dir: str):
         with open(os.path.join(art_dir, _STREAM_META)) as f:
             self.meta = json.load(f)
-        if self.meta.get("kind") != "gru_stream":
+        if self.meta.get("kind") not in ("gru_stream", "conformer_stream"):
             raise ValueError(f"not a streaming artifact: {art_dir}")
+        self._conformer = self.meta["kind"] == "conformer_stream"
         with open(os.path.join(art_dir, _STREAM_PRIME), "rb") as f:
             self._prime = jax.jit(jax_export.deserialize(f.read()).call)
         with open(os.path.join(art_dir, _STREAM_STEP), "rb") as f:
@@ -58,8 +59,10 @@ class ExportedStreamer:
     def reset(self) -> None:
         m = self.meta
         self._buf = np.zeros((m["batch"], 0, m["n_channels"]), np.float32)
-        self._state = None  # (raw_ctx, bin_ctx, h) after priming
+        self._state = None  # carried device state after priming
         self._t_real = 0  # real raw bins fed so far
+        self._pos = 0  # global index of the first buffered bin
+        self._offset = 0  # encoder frames emitted (conformer PE offset)
         self._emitted = 0  # frames returned to the caller so far
         self._flushed = False
         self._decode_prev = np.full((m["batch"],), -1, np.int64)
@@ -69,29 +72,44 @@ class ExportedStreamer:
         """Run prime/step calls for every full window in the buffer.
         Returns raw per-call logits (device arrays, NOT yet truncated)."""
         m = self.meta
+        n_f = m["frames_per_chunk"]
         out = []
         while True:
-            if self._state is None:
-                need = m["prime_bins"]
-                if self._buf.shape[1] < need:
-                    break
-                chunk, self._buf = (
-                    self._buf[:, :need], self._buf[:, need:],
-                )
-                raw_ctx, bin_ctx, h, logits = self._prime(
-                    self._weights, chunk
-                )
+            priming = self._state is None
+            need = m["prime_bins"] if priming else m["chunk_bins"]
+            if self._buf.shape[1] < need:
+                break
+            chunk, self._buf = self._buf[:, :need], self._buf[:, need:]
+            if self._conformer:
+                # Flush padding must be zero in the day-affined domain:
+                # mask marks real bins, padding is zeroed post-affine
+                # inside the exported function.
+                mask = (
+                    (self._pos + np.arange(need)) < self._t_real
+                ).astype(np.float32)
+                max_pos = self.meta["max_pos_len"]
+                if self._offset + n_f > max_pos:
+                    # mirrors the live streamer's loud PE-budget failure
+                    raise RuntimeError(
+                        f"stream reached {self._offset + n_f} encoder "
+                        f"frames, past the positional-encoding table "
+                        f"(max_pos_len={max_pos}); reset() the stream"
+                    )
+                if priming:
+                    res = self._prime(self._weights, chunk, mask)
+                else:
+                    res = self._step(
+                        self._weights, *self._state,
+                        np.int32(self._offset), chunk, mask,
+                    )
+                self._offset += n_f
+            elif priming:
+                res = self._prime(self._weights, chunk)
             else:
-                need = m["chunk_bins"]
-                if self._buf.shape[1] < need:
-                    break
-                chunk, self._buf = (
-                    self._buf[:, :need], self._buf[:, need:],
-                )
-                raw_ctx, bin_ctx, h, logits = self._step(
-                    self._weights, *self._state, chunk
-                )
-            self._state = (raw_ctx, bin_ctx, h)
+                res = self._step(self._weights, *self._state, chunk)
+            self._pos += need
+            *state, logits = res
+            self._state = tuple(state)
             out.append(logits)  # device array — callers sync when needed
         return out
 

@@ -270,3 +270,109 @@ def test_exported_streamer_feed_async(tmp_path):
     fa = np.concatenate(via_feed + [a.flush()], axis=1)
     fb = np.concatenate(via_async + [b.flush()], axis=1)
     np.testing.assert_array_equal(fa, fb)
+
+
+# -- conformer streaming export ----------------------------------------------
+
+def _conf_stream_model(seed=0):
+    from neural_speech_decoder_tpu.models.conformer import (
+        ConformerConfig, init_conformer_params,
+    )
+
+    cfg = ConformerConfig(
+        n_channels=16, n_days=2, frontend_dim=24, latent_dim=24,
+        autoencoder_hidden_dim=16, num_layers=2, num_heads=2, ff_dim=32,
+        dropout=0.0, temporal_kernel=8, temporal_stride=4,
+        gaussian_smooth_width=2.0, conv_kernel=5, use_spec_augment=False,
+        drop_path_prob=0.0, head_dropout=0.0, causal=True,
+        attn_left_context=6,
+    )
+    params = init_conformer_params(jax.random.key(seed), cfg=cfg)
+    return params, cfg
+
+
+def _conf_offline(params, cfg, x):
+    from neural_speech_decoder_tpu.models.conformer import conformer_forward
+
+    logp, _, _ = conformer_forward(
+        params, cfg, jnp.asarray(x), jnp.asarray([0] * x.shape[0]),
+        None, train=False, key=None,
+    )
+    n = (x.shape[1] - cfg.temporal_kernel) // cfg.temporal_stride
+    return np.asarray(logp)[:, :n]
+
+
+@pytest.mark.parametrize("feed", [3, 8, 29])
+def test_exported_conformer_streamer_matches_offline(tmp_path, feed):
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_conformer_params, load_exported_streamer,
+    )
+
+    params, cfg = _conf_stream_model()
+    art = export_streaming_conformer_params(
+        params, cfg, str(tmp_path / "cart"), day_idx=0, batch=2,
+        frames_per_chunk=2,
+    )
+    st = load_exported_streamer(art)
+    assert st.meta["kind"] == "conformer_stream"
+
+    rng = np.random.default_rng(1)
+    t = 75
+    x = rng.standard_normal((2, t, cfg.n_channels)).astype(np.float32)
+    offline = _conf_offline(params, cfg, x)
+
+    got = [st.feed(x[:, i : i + feed]) for i in range(0, t, feed)]
+    got.append(st.flush())
+    streamed = np.concatenate(got, axis=1)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
+def test_exported_conformer_streamer_matches_live(tmp_path):
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_conformer_params, load_exported_streamer,
+    )
+    from neural_speech_decoder_tpu.streaming.conformer import (
+        ConformerStreamer,
+    )
+
+    params, cfg = _conf_stream_model(seed=3)
+    art = export_streaming_conformer_params(
+        params, cfg, str(tmp_path / "cart"), day_idx=1, batch=1,
+        frames_per_chunk=1,
+    )
+    exp = load_exported_streamer(art)
+    live = ConformerStreamer(params, cfg, 1, batch=1, frames_per_chunk=1)
+
+    rng = np.random.default_rng(4)
+    t = 57
+    x = rng.standard_normal((1, t, cfg.n_channels)).astype(np.float32)
+    ea, la = [], []
+    for i in range(0, t, 6):
+        ea.append(exp.feed(x[:, i : i + 6]))
+        la.append(live.process(x[:, i : i + 6]))
+    ea.append(exp.flush()); la.append(live.flush())
+    ea = np.concatenate(ea, axis=1); la = np.concatenate(la, axis=1)
+    assert ea.shape == la.shape
+    np.testing.assert_allclose(ea, la, atol=1e-4)
+
+
+def test_exported_conformer_streamer_pe_budget(tmp_path):
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_conformer_params, load_exported_streamer,
+    )
+
+    params, cfg = _conf_stream_model()
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, max_pos_len=8)
+    params, _ = _conf_stream_model()  # params are PE-independent
+    art = export_streaming_conformer_params(
+        params, cfg, str(tmp_path / "cart"), batch=1, frames_per_chunk=2,
+    )
+    st = load_exported_streamer(art)
+    rng = np.random.default_rng(0)
+    with pytest.raises(RuntimeError, match="positional-encoding"):
+        for i in range(20):
+            st.feed(rng.standard_normal((1, 8, cfg.n_channels))
+                    .astype(np.float32))
