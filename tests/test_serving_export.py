@@ -376,3 +376,23 @@ def test_exported_conformer_streamer_pe_budget(tmp_path):
         for i in range(20):
             st.feed(rng.standard_normal((1, 8, cfg.n_channels))
                     .astype(np.float32))
+
+
+def test_export_cli_both_modes(tmp_path):
+    """The packaged nsd-export CLI drives both artifact kinds."""
+    from neural_speech_decoder_tpu.serving.cli import main as cli
+    from neural_speech_decoder_tpu.serving import (
+        load_exported, load_exported_streamer,
+    )
+
+    run_dir = _train(tmp_path, dict(GRU_ARGS, bidirectional=False))
+    cli([run_dir, str(tmp_path / "a1"), "--batch-size", "2",
+         "--t-max", "48"])
+    m = load_exported(str(tmp_path / "a1"))
+    assert m.meta["batch_size"] == 2 and m.meta["t_max"] == 48
+
+    cli([run_dir, str(tmp_path / "a2"), "--streaming",
+         "--frames-per-chunk", "2"])
+    st = load_exported_streamer(str(tmp_path / "a2"))
+    assert st.meta["kind"] == "gru_stream"
+    assert st.meta["frames_per_chunk"] == 2
