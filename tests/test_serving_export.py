@@ -396,3 +396,52 @@ def test_export_cli_both_modes(tmp_path):
     st = load_exported_streamer(str(tmp_path / "a2"))
     assert st.meta["kind"] == "gru_stream"
     assert st.meta["frames_per_chunk"] == 2
+
+
+def test_exported_streamer_bf16_roundtrip(tmp_path):
+    """bfloat16 checkpoints export and reload (npz stores f32 + dtype
+    tag); exported streaming matches the live bf16 streamer."""
+    import dataclasses
+
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_params, load_exported_streamer,
+    )
+    from neural_speech_decoder_tpu.streaming.engine import GRUStreamer
+
+    params, cfg = _stream_model(seed=11)
+    cfg = dataclasses.replace(cfg, compute_dtype=jnp.bfloat16)
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    art = export_streaming_params(
+        params, cfg, str(tmp_path / "sart"), day_idx=0, batch=1,
+        frames_per_chunk=1,
+    )
+    st = load_exported_streamer(art)
+    assert "bfloat16" in st.meta["leaf_dtypes"]
+    live = GRUStreamer(params, cfg, 0, batch=1, frames_per_chunk=1)
+
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal((1, 36, cfg.neural_dim)).astype(np.float32)
+    a = np.concatenate([st.feed(x), st.flush()], axis=1)
+    b = np.concatenate([live.process(x), live.flush()], axis=1)
+    assert a.shape == b.shape and np.isfinite(a).all()
+    np.testing.assert_allclose(a, b, atol=5e-2)  # bf16 round-off
+
+
+def test_loader_kind_errors(tmp_path):
+    """Loading a batch artifact as a streamer (or vice versa) fails
+    loudly, not with a shape crash deep inside jax."""
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_params, load_exported, load_exported_streamer,
+    )
+
+    params, cfg = _stream_model()
+    art = export_streaming_params(params, cfg, str(tmp_path / "sart"))
+    with pytest.raises(Exception):
+        load_exported(art)  # missing model.shlo/meta.json
+    run_dir = _train(tmp_path, GRU_ARGS)
+    from neural_speech_decoder_tpu.serving import export_inference
+
+    bart = export_inference(run_dir, str(tmp_path / "bart"),
+                            batch_size=2, t_max=48)
+    with pytest.raises(Exception):
+        load_exported_streamer(bart)  # missing stream_meta.json
