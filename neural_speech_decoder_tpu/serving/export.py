@@ -73,7 +73,11 @@ def export_inference(
 
     params, model, args = load_model(model_dir)
     b = int(batch_size or args.get("batchSize", 8))
-    tm = int(args.get("time_multiple", 1) or 1)
+    # Same default multiple as the trainer's eval envelope
+    # (trainer.py choose_envelope call, time_multiple default 128), so a
+    # default export accepts batches padded by the run's own pipeline —
+    # and ExportedModel.pad_batch pads raw trials to any envelope.
+    tm = int(args.get("time_multiple", 128) or 1)
     t = int(t_max or args.get("maxTimeSeriesLen", 1200))
     t = ((t + tm - 1) // tm) * tm
     n_ch = int(args["nInputFeatures"])
@@ -143,8 +147,41 @@ class ExportedModel:
     def __call__(self, x, days, x_lens):
         """``x [B,T,C] f32``, ``days [B] i32``, ``x_lens [B] i32`` →
         ``(log_probs [B,T',K], out_lens [B])``. Shapes must match the
-        exported envelope exactly (meta['batch_size'], meta['t_max'])."""
+        exported envelope exactly (meta['batch_size'], meta['t_max']) —
+        use :meth:`pad_batch` to fit raw trials to it."""
         return self._call(self._weights, x, days, x_lens)
+
+    def pad_batch(self, trials, days=None):
+        """Pad up to ``batch_size`` variable-length trials to the
+        artifact envelope.
+
+        ``trials``: sequence of ``[T_i, C]`` arrays (``T_i <= t_max``);
+        ``days``: per-trial day indices (default 0). Returns
+        ``(x [B, t_max, C], days [B], x_lens [B])`` ready for
+        ``__call__`` — unused rows are zero with length 0, so their
+        ``out_lens`` come back 0 and decode empty."""
+        m = self.meta
+        b, t, c = m["batch_size"], m["t_max"], m["n_channels"]
+        if len(trials) > b:
+            raise ValueError(
+                f"{len(trials)} trials > artifact batch_size {b}"
+            )
+        x = np.zeros((b, t, c), np.float32)
+        lens = np.zeros((b,), np.int32)
+        day_arr = np.zeros((b,), np.int32)
+        for i, tr in enumerate(trials):
+            tr = np.asarray(tr, np.float32)
+            if tr.shape[0] > t or tr.shape[1] != c:
+                raise ValueError(
+                    f"trial {i} shape {tr.shape} exceeds the artifact "
+                    f"envelope (t_max={t}, n_channels={c}); re-export "
+                    f"with a larger --t-max"
+                )
+            x[i, : tr.shape[0]] = tr
+            lens[i] = tr.shape[0]
+            if days is not None:
+                day_arr[i] = int(days[i])
+        return x, day_arr, lens
 
 
 def load_exported(art_dir: str) -> ExportedModel:
@@ -155,6 +192,7 @@ def load_exported(art_dir: str) -> ExportedModel:
 
 _STREAM_PRIME = "stream_prime.shlo"
 _STREAM_STEP = "stream_step.shlo"
+_STREAM_TAIL = "stream_tail.shlo"
 _STREAM_META = "stream_meta.json"
 
 
@@ -307,6 +345,7 @@ def export_streaming_params(
         "n_classes": cfg.n_out,
         "day_idx": day_idx,
         "causal": causal,
+        "outputs": "logits [B, F, K] (pre-softmax)",
         "n_leaves": len(leaves),
         "leaf_dtypes": dtypes,
         "platforms": list(step_exp.platforms),
@@ -361,6 +400,13 @@ def export_streaming_conformer_params(
     affine_body = st._affine_body
     smooth_body = st._smooth_body
     body = st._make_body(n_f)
+    body1 = st._make_body(1) if n_f > 1 else None
+
+    if n_f > cfg.max_pos_len:
+        raise ValueError(
+            f"frames_per_chunk={n_f} exceeds the positional-encoding "
+            f"table (max_pos_len={cfg.max_pos_len})"
+        )
 
     leaves, treedef = jax.tree.flatten(params)
 
@@ -402,27 +448,48 @@ def export_streaming_conformer_params(
         raw_ctx = window[:, window.shape[1] - (ks - 1):]
         return (raw_ctx, bins[:, n:]) + caches + (logp,)
 
+    def tail(weights, raw_ctx, bin_ctx, kv_k, kv_v, conv_ctx, offset, new,
+             mask):
+        """1-frame step for the flush tail: exactness to the last frame
+        the PE table supports (``streaming/conformer.py::_drain`` emits
+        tail frames one at a time for the same reason — a full-width
+        dispatch near the table end would clamp its PE slice)."""
+        p = jax.tree.unflatten(treedef, list(weights))
+        w_day, b_day = _day(p)
+        aff = affine_body(new, w_day, b_day) * mask[None, :, None].astype(cdt)
+        window = jnp.concatenate([raw_ctx, aff], axis=1)
+        sm = smooth_body(window)
+        bins = jnp.concatenate([bin_ctx, sm], axis=1)
+        logp, caches = body1(p, bins[:, :k], (kv_k, kv_v, conv_ctx), offset)
+        raw_ctx = window[:, window.shape[1] - (ks - 1):]
+        return (raw_ctx, bins[:, s:]) + caches + (logp,)
+
     sds = jax.ShapeDtypeStruct
-    w_sds = tuple(sds(np.asarray(leaf).shape, np.asarray(leaf).dtype)
-                  for leaf in leaves)
+    w_sds = tuple(sds(leaf.shape, leaf.dtype) for leaf in leaves)
     f32 = jnp.float32
     prime_exp = jax_export.export(jax.jit(prime))(
         w_sds, sds((batch, w_prime, c), f32), sds((w_prime,), f32)
     )
-    step_exp = jax_export.export(jax.jit(step))(
-        w_sds,
+    state_sds = (
         sds((batch, ks - 1, c), cdt),
         sds((batch, k, c), cdt),
         sds((nl, batch, nh, lc, dh), cdt),
         sds((nl, batch, nh, lc, dh), cdt),
         sds((nl, batch, kc - 1, d), cdt),
         sds((), jnp.int32),
-        sds((batch, n, c), f32),
-        sds((n,), f32),
+    )
+    step_exp = jax_export.export(jax.jit(step))(
+        w_sds, *state_sds, sds((batch, n, c), f32), sds((n,), f32)
     )
 
     os.makedirs(out_dir, exist_ok=True)
-    for name, exp in ((_STREAM_PRIME, prime_exp), (_STREAM_STEP, step_exp)):
+    blobs = [(_STREAM_PRIME, prime_exp), (_STREAM_STEP, step_exp)]
+    if body1 is not None:
+        tail_exp = jax_export.export(jax.jit(tail))(
+            w_sds, *state_sds, sds((batch, s, c), f32), sds((s,), f32)
+        )
+        blobs.append((_STREAM_TAIL, tail_exp))
+    for name, exp in blobs:
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(exp.serialize())
     dtypes = _save_weights(out_dir, leaves)
@@ -440,6 +507,8 @@ def export_streaming_conformer_params(
         "n_classes": cfg.n_classes + 1,
         "max_pos_len": cfg.max_pos_len,
         "day_idx": day_idx,
+        "has_tail": body1 is not None,
+        "outputs": "log_probs [B, F, K] (log-softmax)",
         "n_leaves": len(leaves),
         "leaf_dtypes": dtypes,
         "platforms": list(step_exp.platforms),

@@ -1,12 +1,19 @@
-"""Serving-side driver for exported GRU streaming artifacts.
+"""Serving-side driver for exported streaming artifacts (GRU and causal
+Conformer — ``stream_meta.json``'s ``kind`` selects the protocol).
 
-Loads the two blobs ``export_streaming`` writes (``stream_prime.shlo``,
-``stream_step.shlo``) and drives them with only numpy + jax: host-side
-bin buffering, fixed-chunk dispatch, flush zero-padding, the reference
-CTC-length truncation ``(T - kernel) // stride`` (the live streamer's
-one-frame holdback realizes the same count —
+Loads the blobs ``export_streaming*`` write (``stream_prime.shlo``,
+``stream_step.shlo``, plus ``stream_tail.shlo`` for Conformer artifacts
+with ``frames_per_chunk > 1``) and drives them with only numpy + jax:
+host-side bin buffering, fixed-chunk dispatch, flush zero-padding, the
+reference CTC-length truncation ``(T - kernel) // stride`` (the live
+streamers' one-frame holdback realizes the same count —
 ``streaming/engine.py::_drain``), and incremental greedy CTC decoding.
-No framework modules are imported at serving time.
+No model/training modules are imported at serving time.
+
+Output scale differs by kind (recorded in ``meta['outputs']``): GRU
+artifacts emit raw logits, Conformer artifacts emit log-softmax
+probabilities — argmax decoding is identical, external scorers must
+check the field.
 """
 
 from __future__ import annotations
@@ -19,7 +26,14 @@ import numpy as np
 import jax
 from jax import export as jax_export
 
-from .export import _STREAM_META, _STREAM_PRIME, _STREAM_STEP, _WEIGHTS
+from ..utils.greedy import incremental_greedy
+from .export import (
+    _STREAM_META,
+    _STREAM_PRIME,
+    _STREAM_STEP,
+    _STREAM_TAIL,
+    _WEIGHTS,
+)
 
 
 class ExportedStreamer:
@@ -39,10 +53,16 @@ class ExportedStreamer:
         if self.meta.get("kind") not in ("gru_stream", "conformer_stream"):
             raise ValueError(f"not a streaming artifact: {art_dir}")
         self._conformer = self.meta["kind"] == "conformer_stream"
-        with open(os.path.join(art_dir, _STREAM_PRIME), "rb") as f:
-            self._prime = jax.jit(jax_export.deserialize(f.read()).call)
-        with open(os.path.join(art_dir, _STREAM_STEP), "rb") as f:
-            self._step = jax.jit(jax_export.deserialize(f.read()).call)
+
+        def load_blob(name):
+            with open(os.path.join(art_dir, name), "rb") as f:
+                return jax.jit(jax_export.deserialize(f.read()).call)
+
+        self._prime = load_blob(_STREAM_PRIME)
+        self._step = load_blob(_STREAM_STEP)
+        self._tail = (
+            load_blob(_STREAM_TAIL) if self.meta.get("has_tail") else None
+        )
         npz = np.load(os.path.join(art_dir, _WEIGHTS))
         leaves = []
         for i, dt in enumerate(self.meta["leaf_dtypes"]):
@@ -68,50 +88,53 @@ class ExportedStreamer:
         self._decode_prev = np.full((m["batch"],), -1, np.int64)
 
     # -- streaming ---------------------------------------------------------
-    def _dispatch(self) -> list:
-        """Run prime/step calls for every full window in the buffer.
-        Returns raw per-call logits (device arrays, NOT yet truncated)."""
+    def _dispatch_one(self, tail: bool = False):
+        """Run one prime/step/tail call if the buffer holds a full
+        window; returns the device logits or None. All state updates
+        happen only after a successful call — a raised PE-budget error
+        leaves the driver consistent."""
         m = self.meta
-        n_f = m["frames_per_chunk"]
-        out = []
-        while True:
-            priming = self._state is None
+        priming = self._state is None
+        if tail:
+            need, frames = m["stride_len"], 1
+        else:
             need = m["prime_bins"] if priming else m["chunk_bins"]
-            if self._buf.shape[1] < need:
-                break
-            chunk, self._buf = self._buf[:, :need], self._buf[:, need:]
-            if self._conformer:
-                # Flush padding must be zero in the day-affined domain:
-                # mask marks real bins, padding is zeroed post-affine
-                # inside the exported function.
-                mask = (
-                    (self._pos + np.arange(need)) < self._t_real
-                ).astype(np.float32)
-                max_pos = self.meta["max_pos_len"]
-                if self._offset + n_f > max_pos:
-                    # mirrors the live streamer's loud PE-budget failure
-                    raise RuntimeError(
-                        f"stream reached {self._offset + n_f} encoder "
-                        f"frames, past the positional-encoding table "
-                        f"(max_pos_len={max_pos}); reset() the stream"
-                    )
-                if priming:
-                    res = self._prime(self._weights, chunk, mask)
-                else:
-                    res = self._step(
-                        self._weights, *self._state,
-                        np.int32(self._offset), chunk, mask,
-                    )
-                self._offset += n_f
-            elif priming:
-                res = self._prime(self._weights, chunk)
+            frames = m["frames_per_chunk"]
+        if self._buf.shape[1] < need:
+            return None
+        if self._conformer:
+            max_pos = m["max_pos_len"]
+            if self._offset + frames > max_pos:
+                # mirrors the live streamer's loud PE-budget failure
+                # (streaming/conformer.py::_check_pe_budget) — checked
+                # BEFORE consuming the buffer
+                raise RuntimeError(
+                    f"stream needs {self._offset + frames} encoder "
+                    f"frames, past the positional-encoding table "
+                    f"(max_pos_len={max_pos}); reset() the stream, or "
+                    f"re-export with a larger max_pos_len"
+                )
+            mask = (
+                (self._pos + np.arange(need)) < self._t_real
+            ).astype(np.float32)
+            if priming:
+                res = self._prime(self._weights, self._buf[:, :need], mask)
             else:
-                res = self._step(self._weights, *self._state, chunk)
-            self._pos += need
-            *state, logits = res
-            self._state = tuple(state)
-            out.append(logits)  # device array — callers sync when needed
-        return out
+                fn = self._tail if tail else self._step
+                res = fn(
+                    self._weights, *self._state,
+                    np.int32(self._offset), self._buf[:, :need], mask,
+                )
+            self._offset += frames
+        elif priming:
+            res = self._prime(self._weights, self._buf[:, :need])
+        else:
+            res = self._step(self._weights, *self._state, self._buf[:, :need])
+        self._buf = self._buf[:, need:]
+        self._pos += need
+        *state, logits = res
+        self._state = tuple(state)
+        return logits
 
     def feed(self, raw_bins: np.ndarray) -> np.ndarray:
         """Feed ``[B, n, C]`` new raw bins; returns ``[B, m, K]`` logits
@@ -127,13 +150,15 @@ class ExportedStreamer:
         """Like ``feed`` but returns the per-dispatch device arrays
         without a host sync — a pipelined consumer can chain device-side
         decode work before paying the readback (the exported step runs
-        ~0.5 ms/chunk device-side; one host readback costs a full
+        ~0.5-1 ms/chunk device-side; one host readback costs a full
         PCIe/tunnel round trip, ~30 ms through the remote axon tunnel)."""
         assert not self._flushed, "stream flushed; call reset()"
         raw_bins = np.asarray(raw_bins, np.float32)
         self._t_real += raw_bins.shape[1]
         self._buf = np.concatenate([self._buf, raw_bins], axis=1)
-        chunks = self._dispatch()
+        chunks = []
+        while (logits := self._dispatch_one()) is not None:
+            chunks.append(logits)
         # Live emissions never exceed the realizable count (every frame's
         # raw window, smoothing lookahead included, has arrived), so no
         # truncation is needed here — only flush pads with zeros.
@@ -144,16 +169,33 @@ class ExportedStreamer:
     def flush(self) -> np.ndarray:
         """Zero-pad (offline right-padding semantics) until the reference
         CTC length ``(T - kernel) // stride`` is realized; returns the
-        remaining valid frames."""
+        remaining valid frames. Conformer artifacts switch to the
+        exported 1-frame tail step for the final partial chunk — both
+        fewer wasted frames and PE-exactness near the table end (the
+        live streamer's ``emit(1)`` tail loop)."""
         assert not self._flushed
         self._flushed = True
         m = self.meta
+        n_f = m["frames_per_chunk"]
         target = max(0, (self._t_real - m["kernel_len"]) // m["stride_len"])
         out = []
         while self._emitted < target:
-            need = (
-                m["prime_bins"] if self._state is None else m["chunk_bins"]
+            priming = self._state is None
+            use_tail = (
+                self._tail is not None
+                and not priming
+                and (
+                    target - self._emitted < n_f
+                    or (
+                        self._conformer
+                        and self._offset + n_f > m["max_pos_len"]
+                    )
+                )
             )
+            if use_tail:
+                need = m["stride_len"]
+            else:
+                need = m["prime_bins"] if priming else m["chunk_bins"]
             short = need - self._buf.shape[1]
             if short > 0:
                 self._buf = np.concatenate(
@@ -164,11 +206,11 @@ class ExportedStreamer:
                     ],
                     axis=1,
                 )
-            for logits in self._dispatch():
-                keep = min(logits.shape[1], target - self._emitted)
-                if keep > 0:
-                    out.append(logits[:, :keep])
-                    self._emitted += keep
+            logits = self._dispatch_one(tail=use_tail)
+            keep = min(logits.shape[1], target - self._emitted)
+            if keep > 0:
+                out.append(np.asarray(logits)[:, :keep])
+                self._emitted += keep
         if out:
             return np.concatenate(out, axis=1)
         return np.zeros((m["batch"], 0, m["n_classes"]), np.float32)
@@ -177,19 +219,7 @@ class ExportedStreamer:
     def decode_greedy(self, logits: np.ndarray) -> list[list[int]]:
         """Incremental CTC greedy decode (argmax → collapse repeats →
         drop blanks) with collapse state carried across calls."""
-        b = self.meta["batch"]
-        out: list[list[int]] = [[] for _ in range(b)]
-        if logits.shape[1] == 0:
-            return out
-        ids = np.argmax(np.asarray(logits), axis=-1)
-        for bi in range(b):
-            prev = self._decode_prev[bi]
-            for tok in ids[bi]:
-                if tok != prev and tok != 0:
-                    out[bi].append(int(tok))
-                prev = tok
-            self._decode_prev[bi] = prev
-        return out
+        return incremental_greedy(logits, self._decode_prev)
 
 
 def load_exported_streamer(art_dir: str) -> ExportedStreamer:

@@ -519,15 +519,6 @@ class ConformerStreamer:
     def decode_greedy(self, log_probs: np.ndarray) -> list[list[int]]:
         """Incremental greedy CTC decode (argmax → collapse → drop blank),
         carrying the collapse state across chunks."""
-        out: list[list[int]] = [[] for _ in range(self.batch)]
-        if log_probs.shape[1] == 0:
-            return out
-        ids = np.argmax(np.asarray(log_probs), axis=-1)
-        for bi in range(self.batch):
-            prev = self._decode_prev[bi]
-            for tok in ids[bi]:
-                if tok != prev and tok != 0:
-                    out[bi].append(int(tok))
-                prev = tok
-            self._decode_prev[bi] = prev
-        return out
+        from ..utils.greedy import incremental_greedy
+
+        return incremental_greedy(log_probs, self._decode_prev)

@@ -358,18 +358,9 @@ class GRUStreamer:
         the stream buffers (pinned by ``test_reset_decode_state``).
         Returns newly emitted label IDs per stream.
         """
-        out: list[list[int]] = [[] for _ in range(self.batch)]
-        if logits.shape[1] == 0:
-            return out
-        ids = np.argmax(np.asarray(logits), axis=-1)  # [B, m]
-        for bi in range(self.batch):
-            prev = self._decode_prev[bi]
-            for tok in ids[bi]:
-                if tok != prev and tok != 0:
-                    out[bi].append(int(tok))
-                prev = tok
-            self._decode_prev[bi] = prev
-        return out
+        from ..utils.greedy import incremental_greedy
+
+        return incremental_greedy(logits, self._decode_prev)
 
     def decode_beam(
         self,

@@ -8,9 +8,12 @@ Usage:
 See ``neural_speech_decoder_tpu/serving/cli.py``.
 """
 
+import os
 import sys
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from neural_speech_decoder_tpu.serving.cli import main
 

@@ -445,3 +445,55 @@ def test_loader_kind_errors(tmp_path):
                             batch_size=2, t_max=48)
     with pytest.raises(Exception):
         load_exported_streamer(bart)  # missing stream_meta.json
+
+
+def test_exported_conformer_tail_flush_exact(tmp_path):
+    """frames_per_chunk=4 with a target not divisible by 4 exercises the
+    exported 1-frame tail step; still exact vs offline."""
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_conformer_params, load_exported_streamer,
+    )
+
+    params, cfg = _conf_stream_model(seed=5)
+    art = export_streaming_conformer_params(
+        params, cfg, str(tmp_path / "cart"), batch=1, frames_per_chunk=4,
+    )
+    st = load_exported_streamer(art)
+    assert st.meta["has_tail"]
+    rng = np.random.default_rng(7)
+    t = 70  # target = (70-8)//4 = 15 = 3*4 + 3 -> tail emits 3
+    x = rng.standard_normal((1, t, cfg.n_channels)).astype(np.float32)
+    streamed = np.concatenate([st.feed(x), st.flush()], axis=1)
+    offline = _conf_offline(params, cfg, x)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
+def test_exported_conformer_tail_respects_pe_budget(tmp_path):
+    """An utterance whose last frames sit in the final partial
+    frames_per_chunk window below max_pos_len must flush via the tail
+    step instead of spuriously raising (the live streamer's emit(1)
+    behavior)."""
+    import dataclasses
+
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_conformer_params, load_exported_streamer,
+    )
+
+    params, cfg = _conf_stream_model(seed=6)
+    # 14 = the offline unfold's frame count for t=60 (one more than the
+    # realized CTC length 13, the (T-k)//s vs floor+1 quirk)
+    cfg = dataclasses.replace(cfg, max_pos_len=14)
+    art = export_streaming_conformer_params(
+        params, cfg, str(tmp_path / "cart"), batch=1, frames_per_chunk=4,
+    )
+    st = load_exported_streamer(art)
+    # target = (60-8)//4 = 13: needs 3 chunk dispatches (12 frames) + 1
+    # tail frame; a 4-frame dispatch at offset 12 would exceed the table
+    t = 60
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((1, t, cfg.n_channels)).astype(np.float32)
+    streamed = np.concatenate([st.feed(x), st.flush()], axis=1)
+    assert streamed.shape[1] == 13
+    offline = _conf_offline(params, cfg, x)
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
