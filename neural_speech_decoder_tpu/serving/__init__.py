@@ -1,5 +1,6 @@
 from .export import (
     ExportedModel,
+    export_beam,
     export_inference,
     export_streaming,
     export_streaming_conformer_params,
@@ -10,6 +11,7 @@ from .streaming import ExportedStreamer, load_exported_streamer
 
 __all__ = [
     "ExportedModel",
+    "export_beam",
     "ExportedStreamer",
     "export_inference",
     "export_streaming",

@@ -30,6 +30,12 @@ def main(argv=None):
     ap.add_argument("--causal", action="store_true",
                     help="GRU only: zero-lookahead smoothing (no offline "
                          "parity)")
+    ap.add_argument("--beam", action="store_true",
+                    help="with --streaming: also export the on-device "
+                         "n-best beam blobs (ExportedStreamer.decode_beam)")
+    ap.add_argument("--beam-width", type=int, default=8)
+    ap.add_argument("--beam-top-k", type=int, default=8)
+    ap.add_argument("--beam-max-len", type=int, default=512)
     a = ap.parse_args(argv)
 
     import jax
@@ -37,7 +43,7 @@ def main(argv=None):
     if a.platform:
         jax.config.update("jax_platforms", a.platform)
 
-    from .export import export_inference, export_streaming
+    from .export import export_beam, export_inference, export_streaming
 
     if a.streaming:
         out = export_streaming(
@@ -45,6 +51,17 @@ def main(argv=None):
             batch=a.batch_size or 1,
             frames_per_chunk=a.frames_per_chunk, causal=a.causal,
         )
+        if a.beam:
+            import json
+            import os
+
+            with open(os.path.join(out, "stream_meta.json")) as f:
+                sm = json.load(f)
+            export_beam(
+                out, batch=sm["batch"], n_classes=sm["n_classes"],
+                beam_width=a.beam_width, top_k_tokens=a.beam_top_k,
+                max_len=a.beam_max_len,
+            )
     else:
         out = export_inference(
             a.model_dir, a.out_dir, batch_size=a.batch_size, t_max=a.t_max

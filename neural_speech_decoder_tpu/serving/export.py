@@ -194,6 +194,10 @@ _STREAM_PRIME = "stream_prime.shlo"
 _STREAM_STEP = "stream_step.shlo"
 _STREAM_TAIL = "stream_tail.shlo"
 _STREAM_META = "stream_meta.json"
+_BEAM_INIT = "beam_init.shlo"
+_BEAM_STEP = "beam_step.shlo"
+_BEAM_FINAL = "beam_final.shlo"
+_BEAM_META = "beam_meta.json"
 
 
 def export_streaming(
@@ -515,5 +519,92 @@ def export_streaming_conformer_params(
         "jax_version": jax.__version__,
     }
     with open(os.path.join(out_dir, _STREAM_META), "w") as f:
+        json.dump(meta, f, indent=2)
+    return out_dir
+
+
+# -- on-device n-best beam export --------------------------------------------
+
+
+def export_beam(
+    out_dir: str,
+    *,
+    batch: int,
+    n_classes: int,
+    beam_width: int = 8,
+    top_k_tokens: int = 8,
+    max_len: int = 512,
+) -> str:
+    """Export the on-device CTC prefix beam search
+    (``decoding/ondevice_beam.py``) as three blobs alongside a streaming
+    (or batch) artifact:
+
+    - ``beam_init.shlo``: ``() -> state`` (one live empty prefix per
+      stream);
+    - ``beam_step.shlo``: ``(state..., logits [B,1,K]) -> state`` — one
+      frame's beam update; ``log_softmax`` is applied inside (idempotent,
+      so raw-logit GRU artifacts and log-prob Conformer artifacts both
+      feed it verbatim);
+    - ``beam_final.shlo``: ``state -> (prefixes [B,W,L], lens, scores)``
+      sorted best-first.
+
+    Carrying the state across per-frame calls is exactly
+    chunk-boundary-invariant (``streaming/engine.py::decode_beam``
+    contract). ``state`` is the flattened 5-array ``BeamState``.
+    """
+    from ..decoding.ondevice_beam import (
+        BeamState,
+        beam_extend,
+        beam_finalize,
+        beam_init,
+    )
+
+    def init():
+        return tuple(beam_init(batch, beam_width, max_len))
+
+    def step(prefixes, lens, last, p_b, p_nb, logits):
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        st = beam_extend(
+            BeamState(prefixes, lens, last, p_b, p_nb), lp,
+            top_k_tokens=top_k_tokens,
+        )
+        return tuple(st)
+
+    def final(prefixes, lens, last, p_b, p_nb):
+        return beam_finalize(BeamState(prefixes, lens, last, p_b, p_nb))
+
+    sds = jax.ShapeDtypeStruct
+    i32, f32 = jnp.int32, jnp.float32
+    state_sds = (
+        sds((batch, beam_width, max_len), i32),
+        sds((batch, beam_width), i32),
+        sds((batch, beam_width), i32),
+        sds((batch, beam_width), f32),
+        sds((batch, beam_width), f32),
+    )
+    init_exp = jax_export.export(jax.jit(init))()
+    step_exp = jax_export.export(jax.jit(step))(
+        *state_sds, sds((batch, 1, n_classes), f32)
+    )
+    final_exp = jax_export.export(jax.jit(final))(*state_sds)
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, exp in (
+        (_BEAM_INIT, init_exp),
+        (_BEAM_STEP, step_exp),
+        (_BEAM_FINAL, final_exp),
+    ):
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+    meta = {
+        "batch": batch,
+        "n_classes": n_classes,
+        "beam_width": beam_width,
+        "top_k_tokens": top_k_tokens,
+        "max_len": max_len,
+        "platforms": list(step_exp.platforms),
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _BEAM_META), "w") as f:
         json.dump(meta, f, indent=2)
     return out_dir

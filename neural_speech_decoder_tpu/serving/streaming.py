@@ -28,6 +28,10 @@ from jax import export as jax_export
 
 from ..utils.greedy import incremental_greedy
 from .export import (
+    _BEAM_FINAL,
+    _BEAM_INIT,
+    _BEAM_META,
+    _BEAM_STEP,
     _STREAM_META,
     _STREAM_PRIME,
     _STREAM_STEP,
@@ -63,6 +67,17 @@ class ExportedStreamer:
         self._tail = (
             load_blob(_STREAM_TAIL) if self.meta.get("has_tail") else None
         )
+        self._art_dir = art_dir
+        self._beam = None  # (init, step, final) blobs, loaded on demand
+        self.beam_meta = None
+        if os.path.exists(os.path.join(art_dir, _BEAM_META)):
+            with open(os.path.join(art_dir, _BEAM_META)) as f:
+                self.beam_meta = json.load(f)
+            self._beam = (
+                load_blob(_BEAM_INIT),
+                load_blob(_BEAM_STEP),
+                load_blob(_BEAM_FINAL),
+            )
         npz = np.load(os.path.join(art_dir, _WEIGHTS))
         leaves = []
         for i, dt in enumerate(self.meta["leaf_dtypes"]):
@@ -86,6 +101,7 @@ class ExportedStreamer:
         self._emitted = 0  # frames returned to the caller so far
         self._flushed = False
         self._decode_prev = np.full((m["batch"],), -1, np.int64)
+        self._beam_state = None  # carried on-device n-best beam state
 
     # -- streaming ---------------------------------------------------------
     def _dispatch_one(self, tail: bool = False):
@@ -220,6 +236,32 @@ class ExportedStreamer:
         """Incremental CTC greedy decode (argmax → collapse repeats →
         drop blanks) with collapse state carried across calls."""
         return incremental_greedy(logits, self._decode_prev)
+
+    def decode_beam(self, logits):
+        """Incremental on-device n-best prefix beam search from the
+        exported beam blobs (present when the artifact was built with
+        ``--beam`` / ``export_beam``). Accepts a ``[B, m, K]`` chunk
+        (numpy or the device arrays from ``feed_async``), carries the
+        ``BeamState`` across calls — exactly chunk-boundary-invariant —
+        and returns the current ``(prefixes [B, W, max_len], lens,
+        scores)`` sorted best-first. ``reset()`` clears the search."""
+        if self._beam is None:
+            raise RuntimeError(
+                "artifact has no beam blobs; export with "
+                "export_beam(art_dir, ...) or nsd-export --beam"
+            )
+        binit, bstep, bfinal = self._beam
+        if self._beam_state is None:
+            self._beam_state = binit()
+        if logits.shape[1]:
+            # per-frame device slices: the exported step is one frame
+            # wide so any chunk length (incl. the 1-frame flush tail)
+            # drives the same blob
+            for i in range(logits.shape[1]):
+                self._beam_state = bstep(
+                    *self._beam_state, logits[:, i : i + 1]
+                )
+        return tuple(np.asarray(a) for a in bfinal(*self._beam_state))
 
 
 def load_exported_streamer(art_dir: str) -> ExportedStreamer:

@@ -497,3 +497,59 @@ def test_exported_conformer_tail_respects_pe_budget(tmp_path):
     assert streamed.shape[1] == 13
     offline = _conf_offline(params, cfg, x)
     np.testing.assert_allclose(streamed, offline, atol=1e-4)
+
+
+# -- exported on-device beam -------------------------------------------------
+
+def test_exported_beam_matches_live_beam(tmp_path):
+    """Exported beam blobs vs the live GRUStreamer.decode_beam on the
+    same stream: identical n-best prefixes/lens, matching scores."""
+    from neural_speech_decoder_tpu.serving import (
+        export_beam, export_streaming_params, load_exported_streamer,
+    )
+    from neural_speech_decoder_tpu.streaming.engine import GRUStreamer
+
+    params, cfg = _stream_model(seed=12)
+    art = export_streaming_params(
+        params, cfg, str(tmp_path / "sart"), day_idx=0, batch=2,
+        frames_per_chunk=2,
+    )
+    export_beam(art, batch=2, n_classes=cfg.n_out, beam_width=4,
+                top_k_tokens=4, max_len=32)
+    exp = load_exported_streamer(art)
+    assert exp.beam_meta["beam_width"] == 4
+    live = GRUStreamer(params, cfg, 0, batch=2, frames_per_chunk=2)
+
+    rng = np.random.default_rng(13)
+    t = 49
+    x = rng.standard_normal((2, t, cfg.neural_dim)).astype(np.float32)
+    for i in range(0, t, 8):
+        e_logits = exp.feed(x[:, i : i + 8])
+        l_logits = live.process(x[:, i : i + 8])
+        e_res = exp.decode_beam(e_logits)
+        l_res = live.decode_beam(jnp.asarray(l_logits), beam_width=4,
+                                 top_k_tokens=4, max_len=32)
+    e_res = exp.decode_beam(exp.flush())
+    l_res = live.decode_beam(jnp.asarray(live.flush()), beam_width=4,
+                             top_k_tokens=4, max_len=32)
+    ep, el, es = e_res
+    lp_, ll, ls = (np.asarray(a) for a in l_res)
+    np.testing.assert_array_equal(el, ll)
+    for bi in range(2):
+        for w in range(4):
+            np.testing.assert_array_equal(
+                ep[bi, w, : el[bi, w]], lp_[bi, w, : ll[bi, w]]
+            )
+    np.testing.assert_allclose(es, ls, atol=1e-4)
+
+
+def test_exported_beam_requires_blobs(tmp_path):
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_params, load_exported_streamer,
+    )
+
+    params, cfg = _stream_model()
+    art = export_streaming_params(params, cfg, str(tmp_path / "sart"))
+    st = load_exported_streamer(art)
+    with pytest.raises(RuntimeError, match="beam"):
+        st.decode_beam(np.zeros((1, 1, cfg.n_out), np.float32))
