@@ -1,4 +1,4 @@
-"""End-to-end demo: dataset -> train -> competition decode -> streaming.
+"""End-to-end demo: dataset -> train -> decode -> streaming -> export.
 
 Runs the complete framework story on a small synthetic word-structured
 dataset in a few minutes on CPU (pass --tpu to use the chip):
@@ -7,7 +7,9 @@ dataset in a few minutes on CPU (pass --tpu to use the chip):
   2. trains a GRU decoder via the YAML/override CLI,
   3. runs the competition pipeline (native beam decoder + LM + rescoring),
   4. reloads the best checkpoint and streams an utterance chunk-by-chunk
-     with incremental phoneme decoding.
+     with incremental phoneme + live word decoding,
+  5. exports the streaming model as an AOT serving artifact and replays
+     the stream from it (must match the live streamer).
 
     python scripts/demo_end_to_end.py --workdir /tmp/nsd_demo
 """
@@ -53,7 +55,7 @@ def main():
     os.makedirs(wd, exist_ok=True)
     run_dir = os.path.join(wd, "model")
 
-    print("== 1/4 dataset ==")
+    print("== 1/5 dataset ==")
     data = word_dataset(np.random.default_rng(0), n_days=2, trials=20,
                         n_channels=24, scale=4.0)
     ds_path = os.path.join(wd, "dataset.pkl")
@@ -66,7 +68,7 @@ def main():
     n_train = sum(len(d["transcriptions"]) for d in data["train"])
     print(f"   {n_train} train trials over {len(data['train'])} days -> {ds_path}")
 
-    print("== 2/4 train (YAML CLI) ==")
+    print("== 2/5 train (YAML CLI) ==")
     import yaml
 
     cfg = {
@@ -82,7 +84,7 @@ def main():
     open(cfg_path, "w").write(yaml.safe_dump(cfg))
     train_cli(["--config", cfg_path, f"outputDir={run_dir}"])
 
-    print("== 3/4 competition pipeline ==")
+    print("== 3/5 competition pipeline ==")
     outputs = collect_model_outputs(run_dir, dataset=data,
                                     partition="competition", batch_size=4)
     result = run_pipeline(
@@ -96,7 +98,7 @@ def main():
     )[:3]:
         print(f"   ref: {ref!r:24} hyp: {hyp!r}")
 
-    print("== 4/4 streaming (unidirectional variant) ==")
+    print("== 4/5 streaming (unidirectional variant) ==")
     # Train a small causal model for streaming (bidirectional can't stream).
     stream_dir = os.path.join(wd, "stream_model")
     cfg2 = dict(cfg, bidirectional=False)
@@ -160,6 +162,23 @@ def main():
         print(f"   final words:        {final_words}")
         print(f"   spoken:             "
               f"{data['test'][0]['transcriptions'][0].split()}")
+
+    print("== 5/5 deployment export (AOT serving artifact) ==")
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming,
+        load_exported_streamer,
+    )
+
+    art_dir = os.path.join(wd, "serving_artifact")
+    export_streaming(stream_dir, art_dir, day_idx=0, frames_per_chunk=1)
+    served = load_exported_streamer(art_dir)
+    emitted_art = []
+    for t in range(0, x.shape[1] - x.shape[1] % 2, 2):
+        emitted_art += served.decode_greedy(served.feed(x[:, t : t + 2]))[0]
+    emitted_art += served.decode_greedy(served.flush())[0]
+    match = "==" if emitted_art == emitted else "!="
+    print(f"   artifact phonemes:  {[id_to_phone(i) for i in emitted_art]} "
+          f"({match} live streamer)")
     print("demo complete:", wd)
 
 

@@ -553,3 +553,42 @@ def test_exported_beam_requires_blobs(tmp_path):
     st = load_exported_streamer(art)
     with pytest.raises(RuntimeError, match="beam"):
         st.decode_beam(np.zeros((1, 1, cfg.n_out), np.float32))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_exported_streamer_fuzz_chunk_patterns(tmp_path, seed):
+    """Random chunk sizes + random flush point: exported streamer ==
+    offline on every pattern (the live streamers' differential-fuzz
+    analog)."""
+    from neural_speech_decoder_tpu.models.gru import gru_forward
+    from neural_speech_decoder_tpu.serving import (
+        export_streaming_params, load_exported_streamer,
+    )
+
+    params, cfg = _stream_model(seed=20 + seed)
+    art = export_streaming_params(
+        params, cfg, str(tmp_path / "sart"), day_idx=seed % 3, batch=1,
+        frames_per_chunk=1 + seed % 3,
+    )
+    st = load_exported_streamer(art)
+
+    rng = np.random.default_rng(100 + seed)
+    t = int(rng.integers(20, 90))
+    x = rng.standard_normal((1, t, cfg.neural_dim)).astype(np.float32)
+    offline = np.asarray(
+        gru_forward(params, cfg, jnp.asarray(x),
+                    jnp.asarray([seed % 3]))
+    )
+    ref_len = max(0, (t - cfg.kernel_len) // cfg.stride_len)
+
+    got, i = [], 0
+    while i < t:
+        n = int(rng.integers(1, 12))
+        got.append(st.feed(x[:, i : i + n]))
+        i += n
+    got.append(st.flush())
+    streamed = np.concatenate(got, axis=1)
+    assert streamed.shape[1] == ref_len, (t, streamed.shape, ref_len)
+    if ref_len:
+        np.testing.assert_allclose(streamed, offline[:, :ref_len],
+                                   atol=1e-4)
