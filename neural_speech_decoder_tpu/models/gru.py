@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from ..ops.day_affine import day_affine, init_day_affine
 from ..ops.gaussian import gaussian_smooth
 from ..ops.pallas.gru_scan import gru_sequence
+from ..ops.pallas.matmul import projection_kernel_viable as _mm_viable
 from ..ops.unfold import unfold_matmul, unfold_output_length
 from ..parallel.kernel_mesh import kernel_batch_shards
 from .common import orthogonal, torch_linear_init, uniform_bound, xavier_uniform
@@ -104,6 +105,12 @@ class GRUConfig:
     # Recurrence implementation: None = auto (Pallas kernel on TPU when
     # shapes are tile-aligned, lax.scan custom-VJP path otherwise).
     use_pallas: bool | None = None
+    # Layer 1+ input-projection GEMMs on the hand-tiled Pallas matmul
+    # (ops/pallas/matmul.py — fwd, dX and dW all kernelized, bias fused
+    # into the f32 epilogue). None = auto: on for bf16 compute on TPU
+    # when the K/N dims tile (measured full-step win, BASELINE.md);
+    # the fp32 torch-parity path always keeps the XLA einsum.
+    use_pallas_matmul: bool | None = None
     dtype: Any = jnp.float32  # parameter dtype
     # Activation/matmul dtype. bfloat16 feeds the MXU at full rate with f32
     # accumulation (preferred_element_type) — ~2-3x train throughput on TPU
@@ -297,6 +304,36 @@ def _gru_sequence_sharded(xp, w_hh, b_hh):
     )
 
 
+def _projection_3d(x3, w, bias, *, interpret):
+    """[B,L,F] @ [F,N] + bias on the tiled Pallas matmul (flat [B*L, F]
+    GEMM — the layout the kernel was tuned at)."""
+    from ..ops.pallas.matmul import projection_matmul
+
+    b, l, f = x3.shape
+    y = projection_matmul(x3.reshape(b * l, f), w, bias, interpret)
+    return y.reshape(b, l, -1)
+
+
+def _projection_sharded(x3, w, bias):
+    """Layer input projection on the shared batch-sharded kernel path:
+    each device runs the tiled matmul on its local batch shard (rows pad
+    per shard inside the kernel wrapper), weights/bias enter replicated
+    and their cotangents are psummed by shard_map's transpose. Returns
+    None when a multi-device mesh can't map the batch — the caller falls
+    back to the XLA einsum twin."""
+    from functools import partial
+
+    from ..parallel.kernel_mesh import batch_shard_mapped
+
+    interpret = jax.default_backend() != "tpu"
+    return batch_shard_mapped(
+        partial(_projection_3d, interpret=interpret),
+        x3, w, bias,
+        batch_dims=(0, None, None),
+        out_batch_dims=0,
+    )
+
+
 def _fused_frontend_sharded(x, day_w, day_b, day_idx, *, kernel_size, sigma):
     """Inference frontend kernel on the shared batch-sharded kernel path
     (one program per batch row — no batch tile). Returns None on a
@@ -351,17 +388,37 @@ def gru_encode(
         w_cat = jnp.concatenate(
             [lp["w_ih"][i].astype(cdt) for i in range(d)], axis=-1
         )
-        if li == 0:
-            # Layer 0 additionally fuses the unfold: strided conv
-            # [B,T,C] ⊛ [k,C,3H*D] instead of materializing [B,L,C*k].
-            xp = unfold_matmul(out, w_cat, cfg.kernel_len, cfg.stride_len)
-        else:
-            xp = jnp.einsum(
-                "blf,fk->blk", out, w_cat,
-                preferred_element_type=jnp.float32,
+        xp = None
+        use_mm = cfg.use_pallas_matmul
+        if use_mm is None:
+            use_mm = (
+                jax.default_backend() == "tpu"
+                and cdt == jnp.bfloat16
+                and _mm_viable(b, out.shape[-1], 3 * h * d)
             )
-        xp = xp.reshape(b, -1, d, 3 * h)
-        xp = (xp + lp["b_ih"][None, None, :, :]).astype(cdt)
+        if li > 0 and use_mm:
+            # Hand-tiled Pallas GEMM (fwd + dX + dW), bias fused into the
+            # f32 epilogue. None = unmappable multi-device mesh → XLA
+            # einsum twin below. Layer 0 keeps the strided-conv unfold
+            # (measured: XLA's conv lowering wins — BASELINE.md).
+            b_cat = jnp.concatenate(
+                [lp["b_ih"][i] for i in range(d)], axis=-1
+            ).astype(jnp.float32)
+            xp = _projection_sharded(out, w_cat, b_cat)
+            if xp is not None:
+                xp = xp.reshape(b, -1, d, 3 * h)
+        if xp is None:
+            if li == 0:
+                # Layer 0 additionally fuses the unfold: strided conv
+                # [B,T,C] ⊛ [k,C,3H*D] instead of materializing [B,L,C*k].
+                xp = unfold_matmul(out, w_cat, cfg.kernel_len, cfg.stride_len)
+            else:
+                xp = jnp.einsum(
+                    "blf,fk->blk", out, w_cat,
+                    preferred_element_type=jnp.float32,
+                )
+            xp = xp.reshape(b, -1, d, 3 * h)
+            xp = (xp + lp["b_ih"][None, None, :, :]).astype(cdt)
         xp = jnp.transpose(xp, (1, 2, 0, 3))  # [L, D, B, 3H]
         use_pallas = cfg.use_pallas
         if use_pallas is None:

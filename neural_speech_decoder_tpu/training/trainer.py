@@ -134,6 +134,9 @@ def build_model(args: dict, n_days: int) -> ModelAPI:
         # device via the registered kernel mesh); True forces the kernel
         # (interpreter mode off-TPU — multi-device CPU tests).
         use_pallas=args.get("use_pallas"),
+        # None = auto: hand-tiled Pallas GEMMs for the layer-1+ input
+        # projections on bf16/TPU (ops/pallas/matmul.py).
+        use_pallas_matmul=args.get("use_pallas_matmul"),
     )
 
     def forward(params, x, day_idx, x_lens, *, train, key):
