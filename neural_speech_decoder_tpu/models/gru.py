@@ -45,6 +45,7 @@ from .common import orthogonal, torch_linear_init, uniform_bound, xavier_uniform
 Params = dict[str, Any]
 
 _warned_pallas_fallback = False
+_warned_matmul_fallback = False
 
 
 def _pallas_scan_gate(backend: str, hidden: int, batch: int,
@@ -107,9 +108,12 @@ class GRUConfig:
     use_pallas: bool | None = None
     # Layer 1+ input-projection GEMMs on the hand-tiled Pallas matmul
     # (ops/pallas/matmul.py — fwd, dX and dW all kernelized, bias fused
-    # into the f32 epilogue). None = auto: on for bf16 compute on TPU
-    # when the K/N dims tile (measured full-step win, BASELINE.md);
-    # the fp32 torch-parity path always keeps the XLA einsum.
+    # into the f32 epilogue). None = auto: **OFF**. The kernel wins
+    # isolated (1.07-1.22x, exp_matmul_kernel.py) but the round-4
+    # full-step A/B measured a 15% REGRESSION when integrated (517 vs
+    # 441 seq/s, scripts/exp_matmul_fullstep_ab.py; BASELINE.md
+    # "Hand-tiled matmul full-step A/B") — measured-NO-GAIN, kept as a
+    # documented experiment behind this flag.
     use_pallas_matmul: bool | None = None
     dtype: Any = jnp.float32  # parameter dtype
     # Activation/matmul dtype. bfloat16 feeds the MXU at full rate with f32
@@ -391,11 +395,27 @@ def gru_encode(
         xp = None
         use_mm = cfg.use_pallas_matmul
         if use_mm is None:
-            use_mm = (
-                jax.default_backend() == "tpu"
-                and cdt == jnp.bfloat16
-                and _mm_viable(b, out.shape[-1], 3 * h * d)
-            )
+            # Auto default: OFF. Round 3 flipped this on from isolated GEMM
+            # wins; the round-4 full-step A/B (exp_matmul_fullstep_ab.py,
+            # same chip, interleaved) measured 517 seq/s off vs 441 on —
+            # the custom-call boundary costs more than the kernel saves.
+            use_mm = False
+        elif use_mm and not _mm_viable(b, out.shape[-1], 3 * h * d):
+            # A forced flag must not bypass the kernel's tiling contract
+            # (K/N % 128) — projection_matmul raises deep inside otherwise.
+            # Fall back to the einsum twin with a one-time warning.
+            global _warned_matmul_fallback
+            if not _warned_matmul_fallback:
+                _warned_matmul_fallback = True
+                import warnings
+
+                warnings.warn(
+                    f"use_pallas_matmul=True forced but layer-{li} GEMM "
+                    f"dims (K={out.shape[-1]}, N={3 * h * d}) are not "
+                    f"multiples of 128; using the XLA einsum instead.",
+                    stacklevel=2,
+                )
+            use_mm = False
         if li > 0 and use_mm:
             # Hand-tiled Pallas GEMM (fwd + dX + dW), bias fused into the
             # f32 epilogue. None = unmappable multi-device mesh → XLA

@@ -151,17 +151,28 @@ def tiled_matmul(
     epilogue) is only meaningful for ``kind='nn'``."""
     if a.ndim != 2 or b.ndim != 2:
         return None
+    # Contracted-dim mismatches are caller bugs, not untileable shapes:
+    # raise (an out-of-range grid/index map could otherwise produce
+    # silently wrong output) rather than fall back.
     if kind == "nn":
         (m, k), (k2, n) = a.shape, b.shape
+        mismatch = k != k2
         rows, cols, red = m, n, k
     elif kind == "nt":
         (m, n), (k2, n2) = a.shape, b.shape
+        mismatch = n != n2
         rows, cols, red = m, k2, n
     elif kind == "tn":
         (m, k), (m2, n) = a.shape, b.shape
+        mismatch = m != m2
         rows, cols, red = k, n, m
     else:  # pragma: no cover - internal misuse
         raise ValueError(f"unknown kind {kind!r}")
+    if mismatch:
+        raise ValueError(
+            f"tiled_matmul(kind={kind!r}): contracted dims disagree: "
+            f"a={a.shape} b={b.shape}"
+        )
     t = _tiles(kind, rows, cols, red)
     if t is None:
         return None

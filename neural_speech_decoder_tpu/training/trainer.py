@@ -134,8 +134,9 @@ def build_model(args: dict, n_days: int) -> ModelAPI:
         # device via the registered kernel mesh); True forces the kernel
         # (interpreter mode off-TPU — multi-device CPU tests).
         use_pallas=args.get("use_pallas"),
-        # None = auto: hand-tiled Pallas GEMMs for the layer-1+ input
-        # projections on bf16/TPU (ops/pallas/matmul.py).
+        # None = auto: OFF — the hand-tiled Pallas GEMMs win isolated but
+        # regress the full step 15% (BASELINE.md round-4 A/B); True forces
+        # the experiment path (ops/pallas/matmul.py).
         use_pallas_matmul=args.get("use_pallas_matmul"),
     )
 

@@ -68,6 +68,41 @@ def test_tiled_rejects_untileable():
     assert projection_kernel_viable(64, 256, 384)
 
 
+def test_tiled_rejects_mismatched_contraction():
+    rng = np.random.default_rng(7)
+    a, b = _rand(rng, (64, 256)), _rand(rng, (128, 384))
+    with pytest.raises(ValueError, match="contracted dims disagree"):
+        tiled_matmul(a, b, kind="nn", interpret=True)
+    g, w = _rand(rng, (64, 384)), _rand(rng, (256, 512))
+    with pytest.raises(ValueError, match="contracted dims disagree"):
+        tiled_matmul(g, w, kind="nt", interpret=True)
+    x, g2 = _rand(rng, (64, 256)), _rand(rng, (56, 384))
+    with pytest.raises(ValueError, match="contracted dims disagree"):
+        tiled_matmul(x, g2, kind="tn", interpret=True)
+
+
+def test_forced_flag_falls_back_on_untileable_dims():
+    # hidden=96 -> K = h*d = 192, not %128: a forced use_pallas_matmul=True
+    # must warn and take the einsum twin, not raise inside the kernel.
+    import neural_speech_decoder_tpu.models.gru as gru_mod
+
+    cfg = GRUConfig(
+        neural_dim=32, n_classes=12, hidden_dim=96, num_layers=2,
+        n_days=2, dropout=0.0, use_pallas=False, use_pallas_matmul=True,
+    )
+    params = init_gru_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(8)
+    x = _rand(rng, (4, 68, 32))
+    day = jnp.asarray(rng.integers(0, 2, size=(4,)))
+    gru_mod._warned_matmul_fallback = False
+    with pytest.warns(UserWarning, match="not.*multiples of 128"):
+        y = gru_forward(params, cfg, x, day)
+    cfg_t = GRUConfig(**{**cfg.__dict__, "use_pallas_matmul": False})
+    np.testing.assert_allclose(
+        y, gru_forward(params, cfg_t, x, day), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_projection_matmul_forward_and_grads_match_twin():
     rng = np.random.default_rng(4)
     x, w = _rand(rng, (56, 256)), _rand(rng, (256, 384), 0.1)
@@ -103,18 +138,43 @@ def _gru_case(use_mm, b=8, t=132, dtype=jnp.float32):
     return cfg, params, x, day
 
 
-def test_gru_forward_matches_default_path():
+def test_gru_forward_matches_default_path(monkeypatch):
+    # On the 8-virtual-CPU conftest the kernel wrapper needs a registered
+    # mesh whose batch axis covers all devices, or _projection_sharded
+    # returns None and BOTH arms silently take the einsum twin (round-3
+    # advisor finding: the comparison was vacuous). Register the mesh AND
+    # count projection_matmul invocations to prove the kernel arm really
+    # ran the kernel.
+    import neural_speech_decoder_tpu.ops.pallas.matmul as mm
+
+    calls = {"n": 0}
+    real = mm.projection_matmul
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mm, "projection_matmul", counting)
+
     cfg_k, params, x, day = _gru_case(True)
     cfg_t = GRUConfig(**{**cfg_k.__dict__, "use_pallas_matmul": False})
-    y_k = gru_forward(params, cfg_k, x, day)
-    y_t = gru_forward(params, cfg_t, x, day)
+    n_dev = jax.device_count()
+    mesh = Mesh(
+        np.array(jax.devices()).reshape(n_dev, 1), ("data", "model")
+    )
+    assert x.shape[0] % n_dev == 0, "batch must split over the mesh"
+    with kernel_mesh(mesh):
+        y_k = gru_forward(params, cfg_k, x, day)
+        assert calls["n"] > 0, "kernel path never exercised (vacuous test)"
+        y_t = gru_forward(params, cfg_t, x, day)
     np.testing.assert_allclose(y_k, y_t, rtol=1e-5, atol=1e-5)
 
     def loss(cfg):
         return lambda p: jnp.sum(gru_forward(p, cfg, x, day) ** 2)
 
-    gk = jax.grad(loss(cfg_k))(params)
-    gt = jax.grad(loss(cfg_t))(params)
+    with kernel_mesh(mesh):
+        gk = jax.grad(loss(cfg_k))(params)
+        gt = jax.grad(loss(cfg_t))(params)
     flat_k, _ = jax.tree_util.tree_flatten(gk)
     flat_t, _ = jax.tree_util.tree_flatten(gt)
     for a, b in zip(flat_k, flat_t):
