@@ -1,0 +1,178 @@
+"""Streamed OPT loading proven on a REAL checkpoint layout at real size.
+
+Round-3 VERDICT (§2.2 partial): every at-scale rescorer number used
+device-synthesized weights — the streamed loader's tensor-name mapping
+for an actual HF artifact was only exercised at toy dims (hidden 32).
+These tests build a GENUINE ``facebook/opt-125m``-architecture checkpoint
+with transformers' own ``save_pretrained`` (the same code path that wrote
+the published artifacts — identical tensor names, shapes, sharding
+layout, config.json), then pin the streamed engine directly against
+**torch's OPTForCausalLM forward** — the first oracle in this suite that
+is the HF implementation itself rather than our own jax_lm loader.
+
+Network-free: weights are random-initialized at the real architecture
+(12 layers, d=768, 12 heads, ffn 3072, vocab 50272, max_pos 2048 — Zhang
+et al. 2022 table 1); ``eval_competition.py:84-86`` is the reference
+behavior this loader serves. The 6.7B from-disk leg is measured by
+``scripts/bench_rescore_6b.py --checkpoint`` (BASELINE.md).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+transformers = pytest.importorskip("transformers")
+
+from neural_speech_decoder_tpu.decoding import llm_engine
+
+
+@pytest.fixture(scope="module")
+def opt125m_dir(tmp_path_factory):
+    import torch
+    from transformers import OPTConfig, OPTForCausalLM
+
+    torch.manual_seed(7)
+    cfg = OPTConfig(
+        vocab_size=50272, hidden_size=768, num_hidden_layers=12,
+        num_attention_heads=12, ffn_dim=3072, max_position_embeddings=2048,
+        do_layer_norm_before=True, activation_function="relu",
+        pad_token_id=1, bos_token_id=2, eos_token_id=2,
+    )
+    model = OPTForCausalLM(cfg)
+    # Random init leaves LN at identity and weights at std 0.02; nudge the
+    # scale of a few tensors so every mapped leaf is a real transform.
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.ndim >= 2:
+                p.mul_(1.5)
+    d = tmp_path_factory.mktemp("opt125m")
+    model.save_pretrained(str(d), safe_serialization=True)
+    return str(d), model
+
+
+def _batch(vocab, b=3, t=14, seed=5):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(4, vocab, (b, t)).astype(np.int32)
+    lens = t - (3 * np.arange(b)) % (t - 2)
+    mask = (np.arange(t)[None, :] < lens[:, None]).astype(np.int32)
+    ids = ids * mask + 1 * (1 - mask)  # right-pad with pad_token_id
+    return ids, mask
+
+
+@pytest.mark.slow
+def test_stream_load_125m_matches_torch_forward(opt125m_dir):
+    import torch
+
+    path, model = opt125m_dir
+    model.eval()
+    params, spec = llm_engine.stream_load_hf(path, "float32")
+    assert (spec.n_layer, spec.d_model, spec.n_head, spec.ffn_dim) == (
+        12, 768, 12, 3072,
+    )
+    assert spec.vocab == 50272 and spec.word_dim is None
+
+    ids, mask = _batch(spec.vocab)
+    with torch.no_grad():
+        ref = model(
+            input_ids=torch.from_numpy(ids.astype(np.int64)),
+            attention_mask=torch.from_numpy(mask.astype(np.int64)),
+        ).logits.numpy()
+
+    got = np.asarray(
+        llm_engine.engine_forward_logits(
+            params, spec, jnp.asarray(ids), jnp.asarray(mask),
+            compute_dtype=jnp.float32,
+        )
+    )
+    assert got.shape == ref.shape == (3, 14, 50272)
+    # fp32 through 12 real-size blocks: compare valid positions only
+    # (padded positions differ by masking convention and never score).
+    for i in range(ids.shape[0]):
+        n = int(mask[i].sum())
+        np.testing.assert_allclose(
+            got[i, :n], ref[i, :n], rtol=1e-4, atol=2e-3
+        )
+
+    # Sentence-level scoring parity (the quantity the rescorer consumes).
+    ours_lp = np.asarray(
+        llm_engine.engine_sentence_logprobs(
+            params, spec, jnp.asarray(ids), jnp.asarray(mask),
+            compute_dtype=jnp.float32,
+        )
+    )
+    ref_logp = torch.log_softmax(torch.from_numpy(ref[:, :-1]), dim=-1)
+    tok = torch.from_numpy(ids.astype(np.int64))[:, 1:, None]
+    ref_lp = (
+        ref_logp.gather(-1, tok)[..., 0] * torch.from_numpy(mask[:, 1:])
+    ).sum(-1).numpy()
+    np.testing.assert_allclose(ours_lp, ref_lp, rtol=1e-4, atol=5e-3)
+
+
+def test_generated_checkpoint_is_genuine_hf_layout(tmp_path, monkeypatch):
+    """scripts/make_opt_checkpoint.py (the 6.7B from-disk bench's artifact
+    builder) must produce a checkpoint BOTH transformers and
+    stream_load_hf accept — sharded index naming included."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import make_opt_checkpoint as gen
+
+    monkeypatch.setitem(llm_engine.OPT_SIZES, "tiny", (2, 64, 128, 2, None))
+    monkeypatch.setattr(gen, "SHARD_BYTES", 4 * 1024 * 1024)  # force shards
+    d = str(tmp_path / "tiny_opt")
+    gen.write_checkpoint("tiny", d, seed=1)
+    files = sorted(os.listdir(d))
+    assert "model.safetensors.index.json" in files
+    assert any(f.startswith("model-00001-of-") for f in files)
+
+    params, spec = llm_engine.stream_load_hf(d, "float32")
+    assert (spec.n_layer, spec.d_model) == (2, 64)
+
+    import torch
+    from transformers import OPTForCausalLM
+
+    model, info = OPTForCausalLM.from_pretrained(
+        d, output_loading_info=True, torch_dtype=torch.float32
+    )
+    assert not info["unexpected_keys"]
+    assert all("lm_head" in k for k in info["missing_keys"])  # tied to wte
+    # Values round-trip: torch's view of q_proj == our wqkv slot 0.
+    w_torch = model.model.decoder.layers[0].self_attn.q_proj.weight
+    np.testing.assert_allclose(
+        np.asarray(params["blocks"]["wqkv"][0, :, 0, :], np.float32),
+        w_torch.detach().numpy().T,
+    )
+
+
+@pytest.mark.slow
+def test_int8_from_disk_125m_rank_preserving(opt125m_dir):
+    """The int8 leg of the from-disk path: quantize the STREAMED real-layout
+    checkpoint (not synthesized weights) and check scores stay close and
+    order-preserving on separated hypotheses."""
+    path, _ = opt125m_dir
+    params, spec = llm_engine.stream_load_hf(path, "bfloat16")
+    qparams = llm_engine.quantize_int8(params)
+
+    ids, mask = _batch(spec.vocab, b=6, t=12, seed=9)
+    fp = np.asarray(
+        llm_engine.engine_sentence_logprobs(
+            params, spec, jnp.asarray(ids), jnp.asarray(mask),
+            compute_dtype=jnp.float32,
+        )
+    )
+    q8 = np.asarray(
+        llm_engine.engine_sentence_logprobs(
+            qparams, spec, jnp.asarray(ids), jnp.asarray(mask),
+            compute_dtype=jnp.float32,
+        )
+    )
+    # Random-init 125M logprobs are O(-100); int8 weight-only error stays
+    # well under hypothesis separation at the competition operating point.
+    np.testing.assert_allclose(q8, fp, rtol=0.02, atol=2.0)
+    sep = np.abs(fp[:, None] - fp[None, :]) > 4.0
+    order_fp = fp[:, None] > fp[None, :]
+    order_q8 = q8[:, None] > q8[None, :]
+    assert (order_fp == order_q8)[sep].all()
