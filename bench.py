@@ -79,7 +79,8 @@ def bench_family(args, b=64, t=1280, u=64, n_steps=20):
     x = jnp.asarray(rng.standard_normal((b, t, 256)), dtype=jnp.float32)
     y = jnp.asarray(rng.integers(1, 41, size=(b, u)), dtype=jnp.int32)
     x_lens = jnp.asarray(
-        rng.integers(400, t + 1, size=(b,)), dtype=jnp.int32
+        rng.integers(min(400, max(t // 2, 1)), t + 1, size=(b,)),
+        dtype=jnp.int32,
     )
     y_lens = jnp.asarray(rng.integers(20, u + 1, size=(b,)), dtype=jnp.int32)
     days = jnp.asarray(rng.integers(0, 24, size=(b,)), dtype=jnp.int32)
@@ -145,6 +146,42 @@ CONFORMER_ARGS = {
 }
 
 
+def bench_bucketed_gru(n_buckets: int = 4, b: int = 64) -> dict:
+    """Length-bucketing leg: effective GRU train throughput when batches
+    are padded to per-bucket quantile envelopes (the trainer's
+    ``lengthBuckets`` path) instead of one worst-case T=1280 envelope.
+
+    Uses a realistic trial-length distribution (clipped normal,
+    mean/max ≈ 0.5 like the competition data — BASELINE.md) and times a
+    full train step at each bucket envelope; the effective rate weights
+    bucket step times by how many batches each bucket serves. Returns
+    driver-visible keys (round-3 VERDICT #6: the "1.5-2x from bucketing"
+    claim was not regression-guarded).
+    """
+    rng = np.random.default_rng(7)
+    lens = np.clip(rng.normal(600, 200, size=4096), 100, 1280)
+    qs = np.quantile(lens, np.linspace(0, 1, n_buckets + 1)[1:])
+    mult = 32
+    envelopes = sorted({int(-(-q // mult) * mult) for q in qs})
+    # batches per bucket ∝ trials per bucket
+    edges = np.concatenate([[0], envelopes])
+    weights = np.histogram(lens, bins=edges)[0] / len(lens)
+
+    eff_time = 0.0
+    per_bucket = {}
+    for t_env, w in zip(envelopes, weights):
+        seq_s = bench_family(GRU_ARGS, b=b, t=t_env, n_steps=10)
+        per_bucket[t_env] = round(seq_s, 1)
+        eff_time += w * (b / seq_s)
+    eff = b / eff_time
+    flat = bench_family(GRU_ARGS, b=b, t=1280, n_steps=10)
+    return {
+        "bucketed_seq_per_s": round(eff, 2),
+        "bucketed_speedup": round(eff / flat, 3),
+        "bucket_envelopes": per_bucket,
+    }
+
+
 def bench_rescorer() -> dict | None:
     """Opt-in leg (``--rescorer``): reference-scale OPT-6.7B int8 rescoring
     (the reference's 8-bit setting) on this chip via
@@ -188,6 +225,18 @@ def main() -> None:
         "vs_baseline": round(gru_seq_s / A100_BASELINE_SEQ_PER_S, 3),
     }
     print(json.dumps(gru_line), flush=True)
+    # Driver-guarded extra GRU legs (VERDICT r3 #6): B=128 and the
+    # length-bucketing effective rate. Failures here must not lose the
+    # headline (already printed above) — embed on success only.
+    try:
+        b128 = bench_family(GRU_ARGS, b=128)
+        gru_line["b128_seq_per_s"] = round(b128, 2)
+        gru_line.update(bench_bucketed_gru())
+        print(json.dumps({k: v for k, v in gru_line.items()
+                          if k not in ("metric", "unit")}), flush=True)
+    except Exception as e:  # pragma: no cover
+        print(f"extra GRU legs failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
     conf_seq_s = bench_family(CONFORMER_ARGS)
     print(
         json.dumps(
