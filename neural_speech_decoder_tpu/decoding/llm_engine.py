@@ -353,11 +353,30 @@ _QUANT_LEAVES = ("wqkv", "wo", "wfc", "wproj")
 
 def _quant_leaf(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Symmetric per-output-channel int8. ``w``: [..., in, out]-ish with
-    the *output* (channel) axis last; scale broadcasts over all others."""
-    w32 = np.asarray(w, np.float32)
-    amax = np.max(np.abs(w32), axis=-2, keepdims=True)  # reduce the in axis
-    scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
-    q = np.clip(np.round(w32 / scale), -127, 127).astype(np.int8)
+    the *output* (channel) axis last; scale broadcasts over all others.
+
+    Processes leading-axis chunks with in-place fp32 ops: at 6.7B scale a
+    whole-leaf expression chain allocates several multi-GB fp32
+    temporaries per op (wqkv alone is 1.6B elements), which measured
+    565 s of the from-disk load budget (BASELINE.md); chunking bounds the
+    working set to ~1 GB and single-passes the arithmetic. The reduction
+    axis (-2) is inside each chunk, so chunking the leading axis is
+    exact."""
+    w = np.asarray(w)
+    if w.ndim < 2:  # pragma: no cover - engine weights are all >=2D
+        raise ValueError("quantization expects >=2D weights")
+    q = np.empty(w.shape, np.int8)
+    scale = np.empty(w.shape[:-2] + (1,) + w.shape[-1:], np.float32)
+    step = max(1, int(2**28) // max(int(np.prod(w.shape[1:])), 1))
+    for i in range(0, w.shape[0], step):
+        w32 = np.asarray(w[i : i + step], np.float32)
+        amax = np.max(np.abs(w32), axis=-2, keepdims=True)
+        s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        np.divide(w32, s, out=w32)
+        np.rint(w32, out=w32)
+        np.clip(w32, -127, 127, out=w32)
+        q[i : i + step] = w32
+        scale[i : i + step] = s
     return q, scale
 
 

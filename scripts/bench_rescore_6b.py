@@ -102,8 +102,9 @@ def main():
         for leaf in jax.tree.leaves(params)
     )
     float(probe)
-    print(f"params synthesized on device in {time.time()-t0:.1f}s",
-          file=sys.stderr)
+    how = ("streamed from disk + quantized + transferred"
+           if args.checkpoint else "synthesized on device")
+    print(f"params {how} in {time.time()-t0:.1f}s", file=sys.stderr)
 
     b, t = args.batch, args.seqlen
     rng = np.random.default_rng(0)
