@@ -17,6 +17,10 @@ Prints one JSON line per family; the FINAL line is the headline GRU
 metric and carries the Conformer numbers as extra keys:
   {"metric": "train_seq_per_s", "value": N, "unit": "seq/s",
    "vs_baseline": R, "conformer_seq_per_s": M, "conformer_vs_baseline": S}
+plus driver-guarded shape-lever legs for BOTH families: ``b128_seq_per_s``,
+``bucketed_seq_per_s``/``bucketed_speedup``/``bucket_envelopes`` (GRU) and
+the ``conformer_``-prefixed bucketed triple (attention is O(T²), so the
+Conformer gains superlinearly from per-bucket envelopes).
 
 ``--rescorer`` adds the reference-scale LLM leg — OPT-6.7B **int8**,
 the reference's own 8-bit setting (eval_competition.py:84-86), via
@@ -146,22 +150,28 @@ CONFORMER_ARGS = {
 }
 
 
-def bench_bucketed_gru(n_buckets: int = 4, b: int = 64) -> dict:
-    """Length-bucketing leg: effective GRU train throughput when batches
-    are padded to per-bucket quantile envelopes (the trainer's
-    ``lengthBuckets`` path) instead of one worst-case T=1280 envelope.
+def bench_bucketed(args, *, b: int = 64, n_buckets: int = 4,
+                   mult: int = 32, key_prefix: str = "",
+                   flat: float | None = None, flat_t: int = 1280) -> dict:
+    """Length-bucketing leg: effective train throughput when batches are
+    padded to per-bucket quantile envelopes (the trainer's
+    ``lengthBuckets`` grouped sampler) instead of one worst-case T=1280
+    envelope.
 
     Uses a realistic trial-length distribution (clipped normal,
     mean/max ≈ 0.5 like the competition data — BASELINE.md) and times a
     full train step at each bucket envelope; the effective rate weights
-    bucket step times by how many batches each bucket serves. Returns
-    driver-visible keys (round-3 VERDICT #6: the "1.5-2x from bucketing"
-    claim was not regression-guarded).
+    bucket step times by how many batches each bucket serves — exactly
+    the grouped sampler's expectation (buckets chosen ∝ trial count).
+    Returns driver-visible keys (round-3 VERDICT #6: the "1.5-2x from
+    bucketing" claim was not regression-guarded); ``key_prefix``
+    namespaces them per family (the Conformer's O(T²) attention gains
+    superlinearly from shorter envelopes). Pass ``flat`` to reuse an
+    already-measured flat-envelope rate for the denominator.
     """
     rng = np.random.default_rng(7)
-    lens = np.clip(rng.normal(600, 200, size=4096), 100, 1280)
+    lens = np.clip(rng.normal(600, 200, size=4096), 100, flat_t)
     qs = np.quantile(lens, np.linspace(0, 1, n_buckets + 1)[1:])
-    mult = 32
     envelopes = sorted({int(-(-q // mult) * mult) for q in qs})
     # batches per bucket ∝ trials per bucket
     edges = np.concatenate([[0], envelopes])
@@ -170,15 +180,19 @@ def bench_bucketed_gru(n_buckets: int = 4, b: int = 64) -> dict:
     eff_time = 0.0
     per_bucket = {}
     for t_env, w in zip(envelopes, weights):
-        seq_s = bench_family(GRU_ARGS, b=b, t=t_env, n_steps=10)
+        if t_env == flat_t and flat is not None:
+            seq_s = flat
+        else:
+            seq_s = bench_family(args, b=b, t=t_env, n_steps=10)
         per_bucket[t_env] = round(seq_s, 1)
         eff_time += w * (b / seq_s)
     eff = b / eff_time
-    flat = bench_family(GRU_ARGS, b=b, t=1280, n_steps=10)
+    if flat is None:
+        flat = bench_family(args, b=b, t=flat_t, n_steps=10)
     return {
-        "bucketed_seq_per_s": round(eff, 2),
-        "bucketed_speedup": round(eff / flat, 3),
-        "bucket_envelopes": per_bucket,
+        key_prefix + "bucketed_seq_per_s": round(eff, 2),
+        key_prefix + "bucketed_speedup": round(eff / flat, 3),
+        key_prefix + "bucket_envelopes": per_bucket,
     }
 
 
@@ -231,7 +245,7 @@ def main() -> None:
     try:
         b128 = bench_family(GRU_ARGS, b=128)
         gru_line["b128_seq_per_s"] = round(b128, 2)
-        gru_line.update(bench_bucketed_gru())
+        gru_line.update(bench_bucketed(GRU_ARGS))
         print(json.dumps({k: v for k, v in gru_line.items()
                           if k not in ("metric", "unit")}), flush=True)
     except Exception as e:  # pragma: no cover
@@ -252,6 +266,19 @@ def main() -> None:
         flush=True,
     )
     extra = {}
+    # Conformer bucketing (driver-guarded like the GRU legs): attention
+    # is O(T²), so per-bucket envelopes gain more than the GRU's linear
+    # step. mult=128 matches the MHSA kernel's internal time padding; the
+    # top bucket reuses the flat measurement (same envelope).
+    try:
+        extra.update(bench_bucketed(
+            CONFORMER_ARGS, mult=128, key_prefix="conformer_",
+            flat=conf_seq_s,
+        ))
+        print(json.dumps(extra), flush=True)
+    except Exception as e:  # pragma: no cover
+        print(f"conformer bucketed leg failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
     if "--rescorer" in sys.argv:
         r = bench_rescorer()
         if r is not None:

@@ -66,33 +66,72 @@ def sample_batch(
     buckets: list[int] | None = None,
 ) -> Batch:
     """One uniformly-random batch of distinct trials (reference per-step
-    semantics). With ``buckets``, the batch pads to the smallest bucket
-    ceiling covering its longest trial instead of the global envelope."""
+    semantics).
+
+    With ``buckets``, batches are composed *within* one length bucket:
+    draw an anchor trial uniformly (which selects its bucket with
+    probability ∝ bucket size), then fill the batch from that bucket and
+    pad to its ceiling. Each trial's marginal sampling probability stays
+    the uniform ``B/N`` (``n_k/N · B/n_k``), so the training distribution
+    is unchanged; only trial *co-occurrence* becomes length-local —
+    standard bucket-by-length batching. This matters because padding to
+    the batch max never engages short buckets at production batch sizes
+    (a uniform B=64 draw almost surely contains one near-max trial), so
+    the earlier pad-to-batch-max variant delivered no speedup. A bucket
+    smaller than ``batch_size`` repeats trials to fill the static shape.
+    """
+    if buckets is not None and len(buckets) > 1 and ds.n_trials > 0:
+        edges = np.asarray(buckets)
+        bins = np.searchsorted(edges, np.minimum(ds.lengths, t_max))
+        bins = np.minimum(bins, len(buckets) - 1)  # fallback bucket
+        anchor = int(rng.integers(ds.n_trials))
+        members = np.flatnonzero(bins == bins[anchor])
+        idx = rng.choice(members, size=min(batch_size, len(members)),
+                         replace=False)
+        if len(idx) < batch_size:
+            pad = rng.choice(members, size=batch_size - len(idx),
+                             replace=True)
+            idx = np.concatenate([idx, pad])
+        t_env = min(int(buckets[int(bins[anchor])]), t_max)
+        return _gather(ds, idx, t_env, u_max, np.ones(batch_size))
     idx = rng.choice(ds.n_trials, size=min(batch_size, ds.n_trials),
                      replace=False)
     if len(idx) < batch_size:  # tiny datasets: repeat to fill the envelope
         pad = rng.choice(ds.n_trials, size=batch_size - len(idx), replace=True)
         idx = np.concatenate([idx, pad])
-    if buckets is not None:
-        t_max = min(bucket_for(buckets, int(ds.lengths[idx].max())), t_max)
     return _gather(ds, idx, t_max, u_max, np.ones(batch_size))
 
 
 def eval_batches(
-    ds: PackedDataset, batch_size: int, t_max: int, u_max: int
+    ds: PackedDataset, batch_size: int, t_max: int, u_max: int,
+    *, buckets: list[int] | None = None,
 ) -> Iterator[Batch]:
-    """Sequential full-coverage iterator; the final partial batch is padded
-    to the static batch size with repeated rows carrying weight 0."""
+    """Full-coverage iterator; the final partial batch is padded to the
+    static batch size with repeated rows carrying weight 0.
+
+    With ``buckets``, trials are visited in length order and each batch
+    pads to the smallest bucket ceiling covering it — identical aggregate
+    metrics (PER/loss are masked and order-independent), same compile
+    count as bucketed training, less padding compute."""
     n = ds.n_trials
+    order = (
+        np.argsort(np.minimum(ds.lengths, t_max), kind="stable")
+        if buckets is not None and len(buckets) > 1
+        else np.arange(n)
+    )
     for start in range(0, n, batch_size):
-        idx = np.arange(start, min(start + batch_size, n))
+        idx = order[start : min(start + batch_size, n)]
         weight = np.ones(batch_size)
         if len(idx) < batch_size:
             weight[len(idx):] = 0.0
             idx = np.concatenate(
-                [idx, np.zeros(batch_size - len(idx), dtype=idx.dtype)]
+                [idx, np.full(batch_size - len(idx), idx[0], dtype=idx.dtype)]
             )
-        yield _gather(ds, idx, t_max, u_max, weight)
+        t_env = t_max
+        if buckets is not None and len(buckets) > 1:
+            t_env = min(bucket_for(buckets, int(ds.lengths[idx].max())),
+                        t_max)
+        yield _gather(ds, idx, t_env, u_max, weight)
 
 
 def round_up(x: int, multiple: int) -> int:

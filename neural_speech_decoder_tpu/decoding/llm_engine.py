@@ -196,7 +196,7 @@ def _spec_from_config(path: str) -> EngineSpec:
     )
 
 
-def _alloc_engine_params(spec: EngineSpec, dtype) -> dict:
+def _alloc_engine_params(spec: EngineSpec, dtype, skip=()) -> dict:
     l, d, f = spec.n_layer, spec.d_model, spec.ffn_dim
     blocks = {
         "ln1_g": np.empty((l, d), dtype), "ln1_b": np.empty((l, d), dtype),
@@ -207,6 +207,8 @@ def _alloc_engine_params(spec: EngineSpec, dtype) -> dict:
         "wfc": np.empty((l, d, f), dtype), "bfc": np.empty((l, f), dtype),
         "wproj": np.empty((l, f, d), dtype), "bproj": np.empty((l, d), dtype),
     }
+    for name in skip:
+        del blocks[name]
     out = {
         "wte": np.empty((spec.vocab, spec.w_dim), dtype),
         "wpe": np.empty((spec.n_positions + spec.pos_offset, d), dtype),
@@ -219,13 +221,24 @@ def _alloc_engine_params(spec: EngineSpec, dtype) -> dict:
     return out
 
 
-def stream_load_hf(path: str, param_dtype: str = "bfloat16"):
+def stream_load_hf(path: str, param_dtype: str = "bfloat16",
+                   quantize: bool = False):
     """Load an OPT-family HF checkpoint into the engine layout, one tensor
     at a time, casting to ``param_dtype`` at read time.
 
     Returns ``(params, spec)`` — numpy pytree (host) ready for
     ``jax.device_put`` / ``shard_params``. See the module docstring for
     why this replaces ``jax_lm.load_causal_lm`` at reference scale.
+
+    With ``quantize=True`` the four block matmul weights are int8-quantized
+    *in the stream*: each layer's slice is staged in ``param_dtype``, fed
+    through ``_quant_leaf`` the moment its source tensors have all arrived,
+    and the staging freed — so the full-precision [L, ...] stacks are never
+    materialized. Bit-identical to ``quantize_int8(stream_load_hf(path))``
+    (the chunked two-pass quantizer already reduces per layer), but peak
+    host memory falls from bf16-tree + int8-copies (~20 GB at 6.7B) to
+    ~the int8 output (+ embeddings), and the quantize pass rides the same
+    single sweep over the shard files.
     """
     import ml_dtypes
 
@@ -233,8 +246,46 @@ def stream_load_hf(path: str, param_dtype: str = "bfloat16"):
     dtype = np.dtype(
         ml_dtypes.bfloat16 if param_dtype == "bfloat16" else param_dtype
     )
-    params = _alloc_engine_params(spec, dtype)
+    params = _alloc_engine_params(
+        spec, dtype, skip=_QUANT_LEAVES if quantize else ()
+    )
     blocks = params["blocks"]
+    staging: dict = {}
+    pending = {}  # (leaf, layer) -> writes still expected
+    if quantize:
+        l, d, f = spec.n_layer, spec.d_model, spec.ffn_dim
+        for name, shape, s_shape in (
+            ("wqkv", (l, d, 3, d), (l, 3, 1, d)),
+            ("wo", (l, d, d), (l, 1, d)),
+            ("wfc", (l, d, f), (l, 1, f)),
+            ("wproj", (l, f, d), (l, 1, d)),
+        ):
+            blocks[name + "_q"] = np.empty(shape, np.int8)
+            blocks[name + "_s"] = np.empty(s_shape, np.float32)
+
+    def _stage(name: str, li: int):
+        """Per-layer staging slice for a quantized leaf (lazy-alloc)."""
+        key = (name, li)
+        if key not in staging:
+            shape = blocks[name + "_q"].shape[1:]
+            staging[key] = np.empty(shape, dtype)
+            pending[key] = 3 if name == "wqkv" else 1
+        return staging[key]
+
+    def _maybe_quantize(name: str, li: int):
+        key = (name, li)
+        pending[key] -= 1
+        if pending[key]:
+            return
+        w = staging.pop(key)
+        del pending[key]
+        if name == "wqkv":  # [D,3,D] -> in axis next to out (see
+            q, s = _quant_leaf(np.moveaxis(w, 0, 1))  # quantize_int8)
+            blocks["wqkv_q"][li] = np.moveaxis(q, 0, 1)
+        else:
+            q, s = _quant_leaf(w)
+            blocks[name + "_q"][li] = q
+        blocks[name + "_s"][li] = s
     qkv_slot = {"q_proj": 0, "k_proj": 1, "v_proj": 2}
     top_map = {
         "model.decoder.embed_tokens.weight": "wte",
@@ -281,16 +332,26 @@ def stream_load_hf(path: str, param_dtype: str = "bfloat16"):
             li = int(li_s)
             proj = leaf.split(".")[1] if leaf.startswith("self_attn.") else ""
             if proj in qkv_slot:
-                s = qkv_slot[proj]
+                slot = qkv_slot[proj]
                 if leaf.endswith(".weight"):
-                    blocks["wqkv"][li, :, s, :] = arr.T.astype(dtype)
+                    if quantize:
+                        _stage("wqkv", li)[:, slot, :] = arr.T.astype(dtype)
+                        _maybe_quantize("wqkv", li)
+                    else:
+                        blocks["wqkv"][li, :, slot, :] = arr.T.astype(dtype)
                 else:
-                    blocks["bqkv"][li, s, :] = arr.astype(dtype)
+                    blocks["bqkv"][li, slot, :] = arr.astype(dtype)
             else:
                 dst = leaf_map[leaf]
                 a = arr.astype(dtype)
                 # nn.Linear stores [out, in]; engine matmuls are x @ W
-                blocks[dst][li] = a.T if dst in ("wo", "wfc", "wproj") else a
+                if quantize and dst in _QUANT_LEAVES:
+                    _stage(dst, li)[...] = a.T
+                    _maybe_quantize(dst, li)
+                else:
+                    blocks[dst][li] = (
+                        a.T if dst in ("wo", "wfc", "wproj") else a
+                    )
             n_written += 1
     # Completeness check: params start as np.empty — a naming mismatch
     # that silently skipped tensors would otherwise score with
@@ -300,6 +361,11 @@ def stream_load_hf(path: str, param_dtype: str = "bfloat16"):
         raise ValueError(
             f"checkpoint at {path} filled {n_written}/{expected} engine "
             f"tensors — unrecognized parameter naming scheme"
+        )
+    if staging:  # a (leaf, layer) never saw all its source tensors
+        raise ValueError(
+            f"checkpoint at {path} left {sorted(staging)} staged but "
+            f"never completed — duplicate/missing qkv tensors?"
         )
     return params, spec
 
@@ -367,7 +433,10 @@ def _quant_leaf(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         raise ValueError("quantization expects >=2D weights")
     q = np.empty(w.shape, np.int8)
     scale = np.empty(w.shape[:-2] + (1,) + w.shape[-1:], np.float32)
-    step = max(1, int(2**28) // max(int(np.prod(w.shape[1:])), 1))
+    if w.ndim == 2:  # leading axis IS the reduction axis — never split it
+        step = w.shape[0]
+    else:
+        step = max(1, int(2**28) // max(int(np.prod(w.shape[1:])), 1))
     for i in range(0, w.shape[0], step):
         w32 = np.asarray(w[i : i + step], np.float32)
         amax = np.max(np.abs(w32), axis=-2, keepdims=True)

@@ -358,12 +358,18 @@ def run_eval(
     *,
     torch_mean_semantics: bool,
     device_put: Callable[[Batch], tuple],
+    buckets: list[int] | None = None,
 ) -> tuple[float, float, int, int]:
     """Full test pass. Returns (avg_day_loss, per, edit_dist, seq_len).
 
     ``avg_day_loss`` follows the reference: per-batch scalar (mean over rows
     for the GRU/no-smoothing path, sum for the label-smoothing path), then
     averaged over batches (``neural_decoder_trainer.py:303-310,332``).
+
+    ``buckets`` enables length-ordered bucketed eval batches: PER and
+    edit-distance totals are exactly invariant (masked, order-independent);
+    ``avg_day_loss`` can shift at the last decimal because the reference's
+    mean-of-batch-means depends on which trials share the partial batch.
     """
     # Multi-host: eval outputs are batch-sharded across processes;
     # np.asarray on a non-addressable global array raises. Gather to every
@@ -380,7 +386,8 @@ def run_eval(
     batch_scalars = []
     total_dist = 0
     total_len = 0
-    for batch in eval_batches(test_ds, batch_size, t_max, u_max):
+    for batch in eval_batches(test_ds, batch_size, t_max, u_max,
+                              buckets=buckets):
         arrays = device_put(batch)
         per_seq, tokens, dec_lens = eval_step(params, *arrays)
         per_seq = to_host(per_seq)
@@ -705,6 +712,7 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
                 u_max,
                 torch_mean_semantics=torch_mean,
                 device_put=device_put_batch,
+                buckets=buckets,
             )
             time_per_batch = (time.time() - start_time) / eval_every
             print(

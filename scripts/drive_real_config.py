@@ -42,6 +42,11 @@ def main():
                     help="train the streaming-compatible causal Conformer "
                          "(banded 128-frame-left-context attention + causal "
                          "convs) to quantify the finite-context PER cost")
+    ap.add_argument("--buckets", type=int, default=1,
+                    help="quantile length buckets (trainer lengthBuckets "
+                         "semantics): pool batches pad to per-bucket "
+                         "envelopes, one compile per bucket, validating "
+                         "bucketed training end-to-end in the real loop")
     args_cli = ap.parse_args()
 
     import jax
@@ -49,6 +54,7 @@ def main():
 
     from neural_speech_decoder_tpu.data.batching import (
         choose_envelope,
+        length_buckets,
         sample_batch,
     )
     from neural_speech_decoder_tpu.data.dataset import pack_days
@@ -140,15 +146,26 @@ def main():
     train_step = make_train_step(args, model, tx)
     eval_step = make_eval_step(model)
 
+    buckets = (
+        length_buckets(train_ds, args_cli.buckets, t_max, time_multiple=128)
+        if args_cli.buckets > 1
+        else None
+    )
+    if buckets:
+        print(f"bucket envelopes: {buckets}", file=sys.stderr)
+
     rng = np.random.default_rng(0)
     pool = []
     for _ in range(args_cli.pool):
-        b = sample_batch(train_ds, rng, args_cli.batch, t_max, u_max)
+        b = sample_batch(train_ds, rng, args_cli.batch, t_max, u_max,
+                         buckets=buckets)
         pool.append(tuple(
             jax.device_put(a)
             for a in (b.x, b.y, b.x_lens, b.y_lens, b.days)
         ))
-    print(f"staged {len(pool)} batches on device", file=sys.stderr)
+    pool_ts = sorted({int(p[0].shape[1]) for p in pool})
+    print(f"staged {len(pool)} batches on device (T envelopes: {pool_ts})",
+          file=sys.stderr)
 
     def run_eval():
         from neural_speech_decoder_tpu.data.batching import eval_batches
@@ -176,21 +193,54 @@ def main():
     per_before = float(run_eval())
     print(f"PER before: {per_before:.4f}", file=sys.stderr, flush=True)
 
+    # One real train step per distinct envelope first, so per-bucket
+    # compiles don't pollute the throughput window (they are still
+    # genuine training steps — state advances).
+    warm_envs = {}
+    n_warm = 0
+    for i, batch in enumerate(pool):
+        t_env = int(batch[0].shape[1])
+        if t_env in warm_envs:
+            continue
+        key = jax.random.fold_in(base_key, 10_000_000 + i)
+        t0 = time.perf_counter()
+        state, metrics = train_step(state, *batch, key)
+        float(metrics["train/loss"])  # host block (tunnel-safe)
+        warm_envs[t_env] = round(time.perf_counter() - t0, 1)
+        n_warm += 1
+    print(f"compile warmup (s per envelope): {warm_envs}", file=sys.stderr)
+
     losses = []
+    loss_pool_idx = []
     start = time.perf_counter()
     for step in range(args_cli.steps):
         key = jax.random.fold_in(base_key, step)
         state, metrics = train_step(state, *pool[step % len(pool)], key)
         if step % 20 == 0 or step == args_cli.steps - 1:
             losses.append(round(float(metrics["train/loss"]), 4))
+            loss_pool_idx.append(step % len(pool))
             print(f"step {step}: loss {losses[-1]}", file=sys.stderr)
     elapsed = time.perf_counter() - start
 
     per_after = float(run_eval())
-    # windowed monotonicity: mean of each third strictly decreasing
-    # (an empty third's mean is NaN for <3 samples — fall back to a simple
-    # first-vs-last check on very short drives)
-    if len(losses) >= 3:
+    if buckets:
+        # Bucketed pools make the raw trace non-comparable across samples:
+        # per-row CTC loss scales with sequence length, and batches are now
+        # length-homogeneous, so the mixed trace oscillates between bucket
+        # levels even while every batch improves. Compare each pool batch
+        # against ITSELF across time instead (exact — no normalization
+        # model needed): first vs last recorded loss per pool index.
+        by_idx: dict = {}
+        for i, l in zip(loss_pool_idx, losses):
+            by_idx.setdefault(i, []).append(l)
+        tracked = {i: ls for i, ls in by_idx.items() if len(ls) >= 2}
+        mono = bool(tracked) and all(
+            ls[0] > ls[-1] for ls in tracked.values()
+        )
+    elif len(losses) >= 3:
+        # windowed monotonicity: mean of each third strictly decreasing
+        # (an empty third's mean is NaN for <3 samples — fall back to a
+        # simple first-vs-last check on very short drives)
         thirds = np.array_split(np.asarray(losses), 3)
         mono = thirds[0].mean() > thirds[1].mean() > thirds[2].mean()
     else:
@@ -203,6 +253,12 @@ def main():
         "per_after": round(per_after, 4),
         "seq_per_s": round(args_cli.batch * args_cli.steps / elapsed, 1),
     }
+    if buckets:
+        out["bucket_envelopes"] = pool_ts
+        out["warmup_compile_s"] = warm_envs
+        out["losses_by_pool_idx"] = {
+            str(i): [ls[0], ls[-1]] for i, ls in sorted(tracked.items())
+        }
     print(json.dumps(out))
     assert mono, "loss not decreasing"
     assert per_after < per_before - 0.05, "PER did not improve"

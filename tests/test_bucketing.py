@@ -46,6 +46,86 @@ def test_bucketed_sampling_preserves_content():
     assert len(seen_ts) > 1, "bucketing never produced a smaller envelope"
 
 
+def test_buckets_engage_at_production_batch_size():
+    """Pad-to-batch-max never engages short buckets once B is large (any
+    uniform B=64 draw almost surely contains a near-max trial) — the
+    grouped sampler must still produce small envelopes."""
+    raw = synthetic_dataset(seed=2, n_days=4, trials_per_day=64,
+                            n_channels=8, min_t=40, max_t=400)
+    ds = pack_days(raw["train"])
+    t_max, u_max = choose_envelope(ds, time_multiple=32)
+    buckets = length_buckets(ds, 4, t_max, time_multiple=32)
+    rng = np.random.default_rng(0)
+    seen = {sample_batch(ds, rng, 64, t_max, u_max, buckets=buckets).x.shape[1]
+            for _ in range(40)}
+    assert len(seen) >= 3, f"buckets never engaged at B=64: {seen}"
+    # every batch envelope is a real bucket ceiling and covers its content
+    assert seen <= set(buckets)
+
+
+def test_bucketed_sampling_marginal_is_uniform(monkeypatch):
+    """Anchor-bucket sampling must keep each trial's selection probability
+    at the uniform B/N (bucket chosen ∝ size cancels within-bucket 1/n_k)."""
+    from neural_speech_decoder_tpu.data import batching
+
+    raw = synthetic_dataset(seed=3, n_days=2, trials_per_day=48,
+                            n_channels=8, min_t=40, max_t=300)
+    ds = pack_days(raw["train"])
+    t_max, u_max = choose_envelope(ds, time_multiple=32)
+    buckets = length_buckets(ds, 3, t_max, time_multiple=32)
+
+    counts = np.zeros(ds.n_trials)
+    real_gather = batching._gather
+
+    def spy(ds_, idx, *a, **kw):
+        counts[idx] += 1
+        return real_gather(ds_, idx, *a, **kw)
+
+    monkeypatch.setattr(batching, "_gather", spy)
+    rng = np.random.default_rng(1)
+    n_draws, b = 3000, 8
+    for _ in range(n_draws):
+        sample_batch(ds, rng, b, t_max, u_max, buckets=buckets)
+    expected = n_draws * b / ds.n_trials
+    sigma = np.sqrt(n_draws * (b / ds.n_trials))  # binomial, (1-p) dropped
+    assert np.all(np.abs(counts - expected) < 4.5 * sigma), (
+        counts.min(), counts.max(), expected)
+
+
+def test_bucketed_eval_covers_everything_and_shrinks():
+    """Bucketed eval batches must cover every trial exactly once (weights
+    mask the pad rows), produce smaller envelopes, and keep per-trial
+    content identical to the flat iterator."""
+    from neural_speech_decoder_tpu.data.batching import eval_batches
+
+    raw = synthetic_dataset(seed=4, n_days=3, trials_per_day=21,
+                            n_channels=8, min_t=40, max_t=300)
+    ds = pack_days(raw["test"])
+    t_max, u_max = choose_envelope(ds, time_multiple=32)
+    buckets = length_buckets(ds, 3, t_max, time_multiple=32)
+
+    def collect(buckets_arg):
+        rows = {}
+        envs = set()
+        for b in eval_batches(ds, 8, t_max, u_max, buckets=buckets_arg):
+            envs.add(b.x.shape[1])
+            for j in range(8):
+                if b.weight[j] == 0:
+                    continue
+                key = (int(b.days[j]), int(b.x_lens[j]),
+                       b.x[j, 0].tobytes(), b.y[j].tobytes())
+                assert key not in rows, "trial visited twice"
+                rows[key] = np.abs(b.x[j, : b.x_lens[j]]).sum()
+        return rows, envs
+
+    flat_rows, flat_envs = collect(None)
+    buck_rows, buck_envs = collect(buckets)
+    assert len(flat_rows) == len(buck_rows) == ds.n_trials
+    assert set(flat_rows) == set(buck_rows)
+    assert flat_envs == {t_max}
+    assert len(buck_envs) > 1 and min(buck_envs) < t_max
+
+
 def test_trainer_with_buckets_runs_and_learns(tmp_path):
     args = {
         "outputDir": str(tmp_path / "run"),

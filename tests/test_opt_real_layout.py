@@ -147,6 +147,43 @@ def test_generated_checkpoint_is_genuine_hf_layout(tmp_path, monkeypatch):
     )
 
 
+def test_streaming_quantize_matches_two_pass(tmp_path, monkeypatch):
+    """``stream_load_hf(..., quantize=True)`` (per-layer in-stream int8,
+    never materializing the full-precision stacks) must be BIT-identical
+    to the two-pass ``quantize_int8(stream_load_hf(...))`` — including
+    across shard boundaries, where a layer's q/k/v tensors stage until
+    all three arrive."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import make_opt_checkpoint as gen
+
+    monkeypatch.setitem(llm_engine.OPT_SIZES, "tiny", (4, 64, 128, 2, None))
+    monkeypatch.setattr(gen, "SHARD_BYTES", 256 * 1024)  # many shards
+    d = str(tmp_path / "tiny_opt")
+    gen.write_checkpoint("tiny", d, seed=3)
+
+    two_pass = llm_engine.quantize_int8(
+        llm_engine.stream_load_hf(d, "bfloat16")[0]
+    )
+    fused, spec = llm_engine.stream_load_hf(d, "bfloat16", quantize=True)
+    assert spec.n_layer == 4
+
+    import jax
+
+    flat1 = jax.tree.flatten_with_path(two_pass)[0]
+    flat2 = dict(jax.tree.flatten_with_path(fused)[0])
+    assert set(flat2) == {k for k, _ in flat1}
+    for key, a in flat1:
+        b = flat2[key]
+        assert a.dtype == b.dtype and a.shape == b.shape, key
+        np.testing.assert_array_equal(
+            np.asarray(a, np.float32), np.asarray(b, np.float32), str(key)
+        )
+
+
 @pytest.mark.slow
 def test_int8_from_disk_125m_rank_preserving(opt125m_dir):
     """The int8 leg of the from-disk path: quantize the STREAMED real-layout
