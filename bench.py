@@ -283,7 +283,7 @@ def main() -> None:
         r = bench_rescorer()
         if r is not None:
             print(json.dumps(r), flush=True)
-            extra = {"rescore_6b_sent_per_s": r["value"]}
+            extra["rescore_6b_sent_per_s"] = r["value"]
             if r.get("peak_hbm_gb") is not None:  # absent via the tunnel
                 extra["rescore_6b_peak_hbm_gb"] = r["peak_hbm_gb"]
     print(
