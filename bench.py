@@ -19,8 +19,8 @@ metric and carries the Conformer numbers as extra keys:
    "vs_baseline": R, "conformer_seq_per_s": M, "conformer_vs_baseline": S}
 plus driver-guarded shape-lever legs for BOTH families: ``b128_seq_per_s``,
 ``bucketed_seq_per_s``/``bucketed_speedup``/``bucket_envelopes`` (GRU) and
-the ``conformer_``-prefixed bucketed triple (attention is O(T²), so the
-Conformer gains superlinearly from per-bucket envelopes).
+the ``conformer_``-prefixed B=128 + bucketed keys (attention is O(T²), so
+the Conformer gains superlinearly from per-bucket envelopes).
 
 ``--rescorer`` adds the reference-scale LLM leg — OPT-6.7B **int8**,
 the reference's own 8-bit setting (eval_competition.py:84-86), via
@@ -266,11 +266,15 @@ def main() -> None:
         flush=True,
     )
     extra = {}
-    # Conformer bucketing (driver-guarded like the GRU legs): attention
-    # is O(T²), so per-bucket envelopes gain more than the GRU's linear
+    # Conformer shape-lever legs (driver-guarded like the GRU legs):
+    # B=128 (fills the 128-row MXU tile) and bucketing — attention is
+    # O(T²), so per-bucket envelopes gain more than the GRU's linear
     # step. mult=128 matches the MHSA kernel's internal time padding; the
     # top bucket reuses the flat measurement (same envelope).
     try:
+        extra["conformer_b128_seq_per_s"] = round(
+            bench_family(CONFORMER_ARGS, b=128, n_steps=10), 2
+        )
         extra.update(bench_bucketed(
             CONFORMER_ARGS, mult=128, key_prefix="conformer_",
             flat=conf_seq_s,

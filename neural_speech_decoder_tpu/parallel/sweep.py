@@ -122,18 +122,32 @@ def run_sweep(
     use_processes: bool = True,
     chips_per_trial: int | None = None,
     total_chips: int | None = None,
+    subdir_names: Sequence[str] | None = None,
 ) -> list[Trial]:
     """Run every override set; returns trials sorted by best CER.
 
     ``chips_per_trial`` (with ``total_chips``) gives each concurrent trial
     its own TPU chip subset — concurrency is then bounded by
     ``total_chips // chips_per_trial`` as well as ``array_parallelism``.
+    ``subdir_names`` overrides the default ``trial_NNNN`` per-trial dir
+    names (the CLI multirun passes hydra-style override dirnames).
     """
     os.makedirs(sweep_dir, exist_ok=True)
+    if subdir_names is not None and len(subdir_names) != len(override_list):
+        raise ValueError("subdir_names must match override_list length")
     trials = [
-        Trial(i, ov, os.path.join(sweep_dir, f"trial_{i:04d}"))
+        Trial(
+            i,
+            ov,
+            os.path.join(
+                sweep_dir,
+                subdir_names[i] if subdir_names else f"trial_{i:04d}",
+            ),
+        )
         for i, ov in enumerate(override_list)
     ]
+    if len({t.output_dir for t in trials}) != len(trials):
+        raise ValueError("per-trial output dirs collide")
     slot_queue = None
     if chips_per_trial:
         n_slots = max((total_chips or chips_per_trial) // chips_per_trial, 1)

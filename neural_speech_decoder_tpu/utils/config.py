@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence
 
+import itertools
 import re
 
 import yaml
@@ -51,3 +52,51 @@ def apply_overrides(cfg: dict[str, Any], overrides: Sequence[str]) -> dict:
             node = nxt
         node[parts[-1]] = value
     return cfg
+
+
+def expand_multirun(overrides: Sequence[str]) -> list[list[str]]:
+    """Hydra-multirun expansion: a comma in an override value sweeps it.
+
+    ``["lrStart=0.01,0.02", "nUnits=512"]`` expands to the cartesian
+    product ``[["lrStart=0.01", "nUnits=512"], ["lrStart=0.02",
+    "nUnits=512"]]`` — the semantics of ``hydra --multirun`` choice
+    sweeps (the reference's sweep front end,
+    ``conf/config.yaml:1-12``). Bracketed YAML lists (``key=[1,2]``)
+    and quoted values are single values, not sweeps; ``range(...)``
+    sweeps are not supported (use an explicit choice list).
+    """
+    per_key: list[list[str]] = []
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override must be key=value: {ov!r}")
+        key, _, raw = ov.partition("=")
+        stripped = raw.strip()
+        if (
+            "," in raw
+            and not stripped.startswith(("[", "{", "'", '"'))
+        ):
+            choices = [c.strip() for c in raw.split(",")]
+            if any(c == "" for c in choices):
+                raise ValueError(f"empty choice in sweep override: {ov!r}")
+            per_key.append([f"{key}={c}" for c in choices])
+        else:
+            per_key.append([ov])
+    return [list(combo) for combo in itertools.product(*per_key)]
+
+
+def override_dirname(
+    overrides: Sequence[str],
+    exclude_keys: Sequence[str] = ("outputDir", "datasetPath"),
+    sep: str = ",",
+) -> str:
+    """Hydra's ``${hydra.job.override_dirname}``: the CLI overrides as
+    ``key=value`` pairs, sorted by key and joined with ``sep``, minus
+    ``exclude_keys`` — the reference's per-job sweep subdir naming
+    (``conf/config.yaml:4-12``, which excludes exactly outputDir and
+    datasetPath). Values are kept verbatim, as hydra does."""
+    pairs = []
+    for ov in overrides:
+        key, _, _ = ov.partition("=")
+        if key not in exclude_keys:
+            pairs.append(ov)
+    return sep.join(sorted(pairs))

@@ -199,6 +199,72 @@ def test_sweep_slice_placement(tmp_path, monkeypatch):
     monkeypatch.delenv("TPU_VISIBLE_DEVICES", raising=False)
 
 
+def test_multirun_expansion_and_dirname():
+    from neural_speech_decoder_tpu.utils.config import (
+        expand_multirun,
+        override_dirname,
+    )
+
+    jobs = expand_multirun(
+        ["lrStart=0.01,0.02", "nUnits=512", "outputDir=/tmp/s"]
+    )
+    assert jobs == [
+        ["lrStart=0.01", "nUnits=512", "outputDir=/tmp/s"],
+        ["lrStart=0.02", "nUnits=512", "outputDir=/tmp/s"],
+    ]
+    # cartesian product over several swept keys, CLI order preserved
+    assert len(expand_multirun(["a=1,2", "b=x,y,z"])) == 6
+    # bracketed YAML lists and quoted values are values, not sweeps
+    assert expand_multirun(["ls=[1,2,3]"]) == [["ls=[1,2,3]"]]
+    assert expand_multirun(["s='a,b'"]) == [["s='a,b'"]]
+    with pytest.raises(ValueError):
+        expand_multirun(["a=1,,2"])
+    with pytest.raises(ValueError):
+        expand_multirun(["noequals"])
+    # override_dirname: sorted by key, exclude_keys dropped (the
+    # reference's conf/config.yaml:4-12 semantics)
+    name = override_dirname(
+        ["nUnits=512", "lrStart=0.01", "outputDir=/tmp/s", "datasetPath=/d"]
+    )
+    assert name == "lrStart=0.01,nUnits=512"
+    assert override_dirname(["outputDir=/tmp/s"]) == ""
+
+
+def test_cli_multirun(tmp_path):
+    import yaml
+
+    from neural_speech_decoder_tpu.training.cli import main
+
+    args = base_args(tmp_path, nBatch=4, evalEvery=2)
+    ds = args.pop("dataset")
+    ds_path = tmp_path / "ds.pkl"
+    with open(ds_path, "wb") as f:
+        pickle.dump(ds, f)
+    args["datasetPath"] = str(ds_path)
+    args["outputDir"] = str(tmp_path / "sweep")
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(yaml.safe_dump(args))
+
+    # comma-swept value without -m must refuse, like hydra
+    with pytest.raises(SystemExit):
+        main(["--config", str(cfg_path), "lrStart=0.01,0.005"])
+
+    summary = main(
+        ["--config", str(cfg_path), "-m", "lrStart=0.01,0.005", "nBatch=4"]
+    )
+    assert summary["n_failed"] == 0
+    assert len(summary["jobs"]) == 2
+    # hydra layout: ${outputDir}/${override_dirname} per job
+    for lr in ("0.01", "0.005"):
+        job_dir = tmp_path / "sweep" / f"lrStart={lr},nBatch=4"
+        assert (job_dir / "trainingStats").exists()
+        with open(job_dir / "args", "rb") as f:
+            job_args = pickle.load(f)
+        assert job_args["lrStart"] == float(lr)
+    assert np.isfinite(summary["summary/best_cer"])
+    assert (tmp_path / "sweep" / "sweep_summary.json").exists()
+
+
 def test_cli_main(tmp_path):
     import yaml
 
