@@ -438,7 +438,10 @@ def _quant_leaf(w: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     else:
         step = max(1, int(2**28) // max(int(np.prod(w.shape[1:])), 1))
     for i in range(0, w.shape[0], step):
-        w32 = np.asarray(w[i : i + step], np.float32)
+        # astype(copy=True): np.asarray on an already-fp32 leaf returns a
+        # VIEW, and the in-place ops below would corrupt the caller's
+        # params tree (or crash on read-only device buffers).
+        w32 = w[i : i + step].astype(np.float32)
         amax = np.max(np.abs(w32), axis=-2, keepdims=True)
         s = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
         np.divide(w32, s, out=w32)

@@ -400,7 +400,10 @@ def gru_encode(
             # same chip, interleaved) measured 517 seq/s off vs 441 on —
             # the custom-call boundary costs more than the kernel saves.
             use_mm = False
-        elif use_mm and not _mm_viable(b, out.shape[-1], 3 * h * d):
+        elif use_mm and li > 0 and not _mm_viable(b, out.shape[-1], 3 * h * d):
+            # li > 0: layer 0 never takes the kernel path (it runs the
+            # strided-conv input projection), so its raw channel count
+            # (rarely a 128-multiple) must not trip a misleading warning.
             # A forced flag must not bypass the kernel's tiling contract
             # (K/N % 128) — projection_matmul raises deep inside otherwise.
             # Fall back to the einsum twin with a one-time warning.

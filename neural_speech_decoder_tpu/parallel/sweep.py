@@ -20,6 +20,7 @@ import json
 import multiprocessing as mp
 import os
 import traceback
+import warnings
 from dataclasses import dataclass
 from typing import Any, Callable, Sequence
 
@@ -208,6 +209,15 @@ def run_optuna_sweep(
         import optuna
     except ImportError:
         from . import _optuna_shim as optuna
+
+        # The shim samples uniformly at random (no TPE) — make the
+        # quality downgrade visible so search conclusions aren't
+        # mistaken for TPE results.
+        warnings.warn(
+            "optuna not installed: run_optuna_sweep is using the vendored "
+            "random-search shim (uniform sampling, no TPE).",
+            stacklevel=2,
+        )
 
     def objective(trial):
         overrides = suggest(trial)

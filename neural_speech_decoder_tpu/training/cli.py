@@ -106,6 +106,11 @@ def _multirun(
     failed = [t for t in trials if t.status == "failed"]
     for t in failed:
         print(f"job {t.output_dir} failed:\n{t.error}")
+    if len(failed) == len(trials):
+        # Mirror the single-run path, which propagates the exception: a
+        # sweep with zero surviving jobs must not exit 0 (drivers gate on
+        # the process status).
+        raise SystemExit(f"all {len(trials)} multirun jobs failed")
     best = trials[0]
     return {
         "sweep_dir": str(sweep_dir),

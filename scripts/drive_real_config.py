@@ -234,9 +234,14 @@ def main():
         for i, l in zip(loss_pool_idx, losses):
             by_idx.setdefault(i, []).append(l)
         tracked = {i: ls for i, ls in by_idx.items() if len(ls) >= 2}
-        mono = bool(tracked) and all(
-            ls[0] > ls[-1] for ls in tracked.values()
-        )
+        if tracked:
+            mono = all(ls[0] > ls[-1] for ls in tracked.values())
+        else:
+            # Short drives may never revisit a pool index (e.g. 60 steps
+            # over a 12-batch pool samples indices 0,8,4,11 — all
+            # distinct); fall back to the PER improving so a healthy run
+            # isn't reported as "loss not decreasing".
+            mono = per_after < per_before
     elif len(losses) >= 3:
         # windowed monotonicity: mean of each third strictly decreasing
         # (an empty third's mean is NaN for <3 samples — fall back to a

@@ -264,6 +264,15 @@ def test_cli_multirun(tmp_path):
     assert np.isfinite(summary["summary/best_cer"])
     assert (tmp_path / "sweep" / "sweep_summary.json").exists()
 
+    # a sweep where EVERY job fails must not exit 0 (regression: the
+    # summary path used to swallow failures and return normally)
+    with pytest.raises(SystemExit, match="multirun jobs failed"):
+        main([
+            "--config", str(cfg_path), "-m",
+            "lrStart=0.01,0.005", "datasetPath=/nonexistent/ds.pkl",
+            f"outputDir={tmp_path}/sweep_fail",
+        ])
+
 
 def test_cli_main(tmp_path):
     import yaml

@@ -262,6 +262,29 @@ def test_int8_quantization_close_and_rank_preserving(tiny_opt_dir):
     assert list(np.argsort(q)) == list(np.argsort(fp))
 
 
+def test_quantize_int8_is_pure(tiny_opt_dir):
+    """quantize_int8 must not mutate the caller's tree (regression: the
+    chunked in-place fp32 path once quantized straight into a VIEW of
+    already-fp32 leaves) and must accept read-only arrays."""
+    params, spec, _ = jax_lm.load_causal_lm(tiny_opt_dir)
+    eng_params, _ = llm_engine.from_jax_lm(params, spec)
+    # fp32 leaves: np.asarray(w[i:i+step], np.float32) is a no-copy view
+    fp32_blocks = {
+        k: np.asarray(v, np.float32) for k, v in eng_params["blocks"].items()
+    }
+    before = {k: v.copy() for k, v in fp32_blocks.items()}
+    llm_engine.quantize_int8({**eng_params, "blocks": fp32_blocks})
+    for k in fp32_blocks:
+        np.testing.assert_array_equal(fp32_blocks[k], before[k]), k
+    # read-only leaves (np.asarray of a device array is non-writable)
+    ro_blocks = {}
+    for k, v in fp32_blocks.items():
+        arr = v.copy()
+        arr.setflags(write=False)
+        ro_blocks[k] = arr
+    llm_engine.quantize_int8({**eng_params, "blocks": ro_blocks})
+
+
 @pytest.mark.parametrize("mesh_shape", [(1, 2), (2, 2), (1, 8)])
 def test_tensor_parallel_logprob_parity(tiny_opt_dir, mesh_shape):
     """TP-sharded forward on the virtual CPU mesh == single-device.
