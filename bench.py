@@ -178,6 +178,7 @@ def bench_bucketed(args, *, b: int = 64, n_buckets: int = 4,
     weights = np.histogram(lens, bins=edges)[0] / len(lens)
 
     eff_time = 0.0
+    tok_time = 0.0
     per_bucket = {}
     for t_env, w in zip(envelopes, weights):
         if t_env == flat_t and flat is not None:
@@ -186,6 +187,14 @@ def bench_bucketed(args, *, b: int = 64, n_buckets: int = 4,
             seq_s = bench_family(args, b=b, t=t_env, n_steps=10)
         per_bucket[t_env] = round(seq_s, 1)
         eff_time += w * (b / seq_s)
+        # Tokens-constant leg (``tokensPerBatch``): B_k = b·flat_t/T_k
+        # rounded down to a multiple of 64 (the GRU scan's M=2B must fill
+        # the 128-row MXU tile; the Conformer measured indifferent) —
+        # cells where B_k == b reuse the fixed-B measurement.
+        b_k = max(64, (b * flat_t // t_env) // 64 * 64)
+        tok_s = seq_s if b_k == b else bench_family(
+            args, b=b_k, t=t_env, n_steps=10)
+        tok_time += w / tok_s  # time-per-seq — B_k cancels in the eff
     eff = b / eff_time
     if flat is None:
         flat = bench_family(args, b=b, t=flat_t, n_steps=10)
@@ -193,6 +202,8 @@ def bench_bucketed(args, *, b: int = 64, n_buckets: int = 4,
         key_prefix + "bucketed_seq_per_s": round(eff, 2),
         key_prefix + "bucketed_speedup": round(eff / flat, 3),
         key_prefix + "bucket_envelopes": per_bucket,
+        key_prefix + "tokens_const_seq_per_s": round(1.0 / tok_time, 2),
+        key_prefix + "tokens_const_speedup": round(1.0 / tok_time / flat, 3),
     }
 
 

@@ -56,6 +56,33 @@ def _gather(ds: PackedDataset, idx: np.ndarray, t_max: int, u_max: int,
     )
 
 
+def bucket_batch_sizes(
+    buckets: list[int], token_budget: int, t_max: int,
+    max_batch: int = 256, multiple: int = 8,
+) -> list[int]:
+    """Tokens-constant per-bucket batch sizes: ``B_k = token_budget / T_k``
+    rounded down to a multiple of ``multiple``, clamped to
+    ``[multiple, max_batch]``.
+
+    Every bucket's step then moves the same activation volume, so short
+    envelopes stop under-filling the chip. ``multiple`` must match the
+    model's MXU row granularity — measured on the v5e (BASELINE.md
+    "tokens-constant bucketing"): the Conformer flattens batch into
+    ``[B·T, D]`` GEMMs and gains at any multiple of 8, but the
+    bidirectional GRU's recurrent matmuls have only ``M = 2·B`` rows, so
+    a B that is not a multiple of 64 leaves the 128-row MXU tile
+    part-empty at every scan step (B=104 measured −22%, B=128 +9%) —
+    use ``multiple=64`` for the GRU family. Multiples ≥8 also keep every
+    B_k data-parallel-shardable on meshes up to 8-way.
+    """
+    return [
+        min(max(multiple,
+                int(token_budget // min(t, t_max)) // multiple * multiple),
+            max_batch)
+        for t in buckets
+    ]
+
+
 def sample_batch(
     ds: PackedDataset,
     rng: np.random.Generator,
@@ -64,6 +91,7 @@ def sample_batch(
     u_max: int,
     *,
     buckets: list[int] | None = None,
+    bucket_sizes: list[int] | None = None,
 ) -> Batch:
     """One uniformly-random batch of distinct trials (reference per-step
     semantics).
@@ -79,21 +107,37 @@ def sample_batch(
     (a uniform B=64 draw almost surely contains one near-max trial), so
     the earlier pad-to-batch-max variant delivered no speedup. A bucket
     smaller than ``batch_size`` repeats trials to fill the static shape.
+
+    With ``bucket_sizes`` (tokens-constant batching, ``tokensPerBatch``),
+    bucket ``k``'s batches use ``bucket_sizes[k]`` rows instead of
+    ``batch_size``, and the bucket is drawn with probability
+    ``∝ n_k / B_k`` so each trial's *expected visits per step* stay equal
+    across buckets (``p_k · B_k / n_k = 1/Z``) — the uniform marginal is
+    preserved exactly as in the fixed-B case, just amortized over steps
+    that now carry more short rows each.
     """
     if buckets is not None and len(buckets) > 1 and ds.n_trials > 0:
         edges = np.asarray(buckets)
         bins = np.searchsorted(edges, np.minimum(ds.lengths, t_max))
         bins = np.minimum(bins, len(buckets) - 1)  # fallback bucket
-        anchor = int(rng.integers(ds.n_trials))
-        members = np.flatnonzero(bins == bins[anchor])
-        idx = rng.choice(members, size=min(batch_size, len(members)),
+        if bucket_sizes is not None:
+            counts = np.bincount(bins, minlength=len(buckets))
+            sizes = np.asarray(bucket_sizes, dtype=np.float64)
+            p = np.where(counts > 0, counts / sizes, 0.0)
+            p /= p.sum()
+            k = int(rng.choice(len(buckets), p=p))
+            b_k = int(bucket_sizes[k])
+        else:
+            k = int(bins[int(rng.integers(ds.n_trials))])
+            b_k = batch_size
+        members = np.flatnonzero(bins == k)
+        idx = rng.choice(members, size=min(b_k, len(members)),
                          replace=False)
-        if len(idx) < batch_size:
-            pad = rng.choice(members, size=batch_size - len(idx),
-                             replace=True)
+        if len(idx) < b_k:
+            pad = rng.choice(members, size=b_k - len(idx), replace=True)
             idx = np.concatenate([idx, pad])
-        t_env = min(int(buckets[int(bins[anchor])]), t_max)
-        return _gather(ds, idx, t_env, u_max, np.ones(batch_size))
+        t_env = min(int(buckets[k]), t_max)
+        return _gather(ds, idx, t_env, u_max, np.ones(b_k))
     idx = rng.choice(ds.n_trials, size=min(batch_size, ds.n_trials),
                      replace=False)
     if len(idx) < batch_size:  # tiny datasets: repeat to fill the envelope

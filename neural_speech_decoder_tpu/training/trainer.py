@@ -35,6 +35,7 @@ import optax
 
 from ..data.batching import (
     Batch,
+    bucket_batch_sizes,
     choose_envelope,
     eval_batches,
     length_buckets,
@@ -657,6 +658,26 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
         if n_buckets > 1
         else None
     )
+    # Tokens-constant bucketing (``tokensPerBatch``): size each bucket's
+    # batch by a token budget (B_k = budget / T_k) so short-envelope steps
+    # stop under-filling the chip. Measured +3% effective throughput for
+    # both families over fixed-B bucketing (BASELINE.md "tokens-constant
+    # bucketing"); the sampler keeps the uniform per-trial marginal by
+    # drawing buckets ∝ n_k / B_k. Opt-in; one extra compile per distinct
+    # B_k at most.
+    token_budget = int(args.get("tokensPerBatch", 0))
+    # Batch-size granularity: the GRU's recurrent matmuls have M = 2·B
+    # rows, so B must be a multiple of 64 to fill the 128-row MXU tile
+    # (measured: B=104 −22%, B=128 +9%); the Conformer measured identical
+    # effective rates at multiple 8 and 64, so 64 is the default for both
+    # (see bucket_batch_sizes / BASELINE.md "tokens-constant bucketing").
+    bucket_sizes = (
+        bucket_batch_sizes(buckets, token_budget, t_max,
+                           max_batch=int(args.get("maxBatchSize", 256)),
+                           multiple=int(args.get("batchMultiple", 64)))
+        if buckets is not None and token_budget > 0
+        else None
+    )
 
     watch_freq = int(args.get("watch_log_freq", 100))
 
@@ -686,7 +707,8 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
         if step == profile_start:
             jax.profiler.start_trace(os.path.join(output_dir, "profile"))
         batch = sample_batch(
-            train_ds, np_rng, batch_size, t_max, u_max, buckets=buckets
+            train_ds, np_rng, batch_size, t_max, u_max, buckets=buckets,
+            bucket_sizes=bucket_sizes,
         )
         key = jax.random.fold_in(base_key, step)
         state, metrics = train_step(state, *device_put_batch(batch), key)

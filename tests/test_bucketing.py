@@ -126,6 +126,80 @@ def test_bucketed_eval_covers_everything_and_shrinks():
     assert len(buck_envs) > 1 and min(buck_envs) < t_max
 
 
+def test_tokens_constant_sizes_and_marginal(monkeypatch):
+    """tokensPerBatch path: B_k = budget/T_k (multiple of 8, capped), and
+    the ∝ n_k/B_k bucket draw keeps each trial's expected visit count
+    uniform even though short buckets carry more rows per step."""
+    from neural_speech_decoder_tpu.data import batching
+    from neural_speech_decoder_tpu.data.batching import bucket_batch_sizes
+
+    raw = synthetic_dataset(seed=5, n_days=2, trials_per_day=48,
+                            n_channels=8, min_t=40, max_t=300)
+    ds = pack_days(raw["train"])
+    t_max, u_max = choose_envelope(ds, time_multiple=32)
+    buckets = length_buckets(ds, 3, t_max, time_multiple=32)
+    budget = 16 * t_max
+    sizes = bucket_batch_sizes(buckets, budget, t_max, max_batch=64)
+    assert all(s % 8 == 0 and 8 <= s <= 64 for s in sizes)
+    assert sizes[-1] == 16 and sizes == sorted(sizes, reverse=True)
+
+    counts = np.zeros(ds.n_trials)
+    real_gather = batching._gather
+
+    def spy(ds_, idx, t_env, *a, **kw):
+        # every batch's row count matches its envelope's budgeted size
+        assert len(idx) == sizes[buckets.index(t_env)]
+        counts[idx] += 1
+        return real_gather(ds_, idx, t_env, *a, **kw)
+
+    monkeypatch.setattr(batching, "_gather", spy)
+    rng = np.random.default_rng(2)
+    n_draws = 2500
+    for _ in range(n_draws):
+        sample_batch(ds, rng, 16, t_max, u_max, buckets=buckets,
+                     bucket_sizes=sizes)
+    expected = counts.sum() / ds.n_trials
+    sigma = np.sqrt(expected)  # ~Poisson per-trial visit count
+    assert np.all(np.abs(counts - expected) < 5 * sigma), (
+        counts.min(), counts.max(), expected)
+
+
+def test_trainer_tokens_constant_runs_and_learns(tmp_path):
+    args = {
+        "outputDir": str(tmp_path / "run"),
+        "dataset": synthetic_dataset(
+            seed=0, n_days=2, trials_per_day=16, n_channels=12,
+            min_t=30, max_t=120, min_u=2, max_u=4, signal_scale=3.0,
+        ),
+        "batchSize": 4,
+        "lrStart": 0.01,
+        "lrEnd": 0.01,
+        "l2_decay": 0.0,
+        "nBatch": 20,
+        "evalEvery": 10,
+        "whiteNoiseSD": 0.1,
+        "constantOffsetSD": 0.0,
+        "gaussianSmoothWidth": 2.0,
+        "nUnits": 16,
+        "nLayers": 2,
+        "nInputFeatures": 12,
+        "nClasses": 40,
+        "dropout": 0.0,
+        "strideLen": 4,
+        "kernelLen": 8,
+        "bidirectional": True,
+        "seed": 0,
+        "wandb_mode": "disabled",
+        "time_multiple": 16,
+        "lengthBuckets": 3,
+        "tokensPerBatch": 4 * 120,
+        "maxBatchSize": 16,
+        "batchMultiple": 4,  # tiny-model test; production default is 64
+    }
+    summary = train_model(args)
+    assert np.isfinite(summary["summary/final_loss"])
+
+
 def test_trainer_with_buckets_runs_and_learns(tmp_path):
     args = {
         "outputDir": str(tmp_path / "run"),
