@@ -47,12 +47,17 @@ def main():
                          "semantics): pool batches pad to per-bucket "
                          "envelopes, one compile per bucket, validating "
                          "bucketed training end-to-end in the real loop")
+    ap.add_argument("--tokens-per-batch", type=int, default=0,
+                    help="tokens-constant bucketing (trainer tokensPerBatch "
+                         "semantics): per-bucket B_k = budget/T_k in "
+                         "multiples of 64; requires --buckets > 1")
     args_cli = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     from neural_speech_decoder_tpu.data.batching import (
+        bucket_batch_sizes,
         choose_envelope,
         length_buckets,
         sample_batch,
@@ -153,12 +158,21 @@ def main():
     )
     if buckets:
         print(f"bucket envelopes: {buckets}", file=sys.stderr)
+    bucket_sizes = (
+        bucket_batch_sizes(buckets, args_cli.tokens_per_batch, t_max,
+                           multiple=64)
+        if buckets and args_cli.tokens_per_batch > 0
+        else None
+    )
+    if bucket_sizes:
+        print(f"tokens-constant batch sizes: {bucket_sizes}",
+              file=sys.stderr)
 
     rng = np.random.default_rng(0)
     pool = []
     for _ in range(args_cli.pool):
         b = sample_batch(train_ds, rng, args_cli.batch, t_max, u_max,
-                         buckets=buckets)
+                         buckets=buckets, bucket_sizes=bucket_sizes)
         pool.append(tuple(
             jax.device_put(a)
             for a in (b.x, b.y, b.x_lens, b.y_lens, b.days)
