@@ -177,21 +177,25 @@ def bench_bucketed(args, *, b: int = 64, n_buckets: int = 4,
     edges = np.concatenate([[0], envelopes])
     weights = np.histogram(lens, bins=edges)[0] / len(lens)
 
+    # Tokens-constant leg (``tokensPerBatch``): per-bucket B_k from the
+    # SAME sizing function the trainer uses (bucket_batch_sizes — budget
+    # b·flat_t tokens, multiple 64 because the GRU scan's M=2B must fill
+    # the 128-row MXU tile; the Conformer measured indifferent), so bench
+    # and trainer can never drift.
+    from neural_speech_decoder_tpu.data.batching import bucket_batch_sizes
+
+    tok_sizes = bucket_batch_sizes(envelopes, b * flat_t, flat_t, multiple=64)
     eff_time = 0.0
     tok_time = 0.0
     per_bucket = {}
-    for t_env, w in zip(envelopes, weights):
+    for t_env, w, b_k in zip(envelopes, weights, tok_sizes):
         if t_env == flat_t and flat is not None:
             seq_s = flat
         else:
             seq_s = bench_family(args, b=b, t=t_env, n_steps=10)
         per_bucket[t_env] = round(seq_s, 1)
         eff_time += w * (b / seq_s)
-        # Tokens-constant leg (``tokensPerBatch``): B_k = b·flat_t/T_k
-        # rounded down to a multiple of 64 (the GRU scan's M=2B must fill
-        # the 128-row MXU tile; the Conformer measured indifferent) —
-        # cells where B_k == b reuse the fixed-B measurement.
-        b_k = max(64, (b * flat_t // t_env) // 64 * 64)
+        # cells where B_k == b reuse the fixed-B measurement
         tok_s = seq_s if b_k == b else bench_family(
             args, b=b_k, t=t_env, n_steps=10)
         tok_time += w / tok_s  # time-per-seq — B_k cancels in the eff

@@ -24,25 +24,36 @@ from .dataset import PackedDataset
 
 @dataclasses.dataclass
 class Batch:
-    """One padded batch. ``weight`` masks padded (duplicated) eval rows."""
+    """One padded batch. ``weight`` masks padded (duplicated) eval rows.
 
-    x: np.ndarray  # [B, T_max, C] float32, zero-padded
+    ``idx``/``t_env`` record the trial indices and time envelope so the
+    device-resident data path (``data/device_data.py``) can re-assemble
+    ``x`` on-device; with ``materialize_x=False`` the host ``x`` is skipped
+    entirely (``x is None``) and only the assembler may consume the batch.
+    """
+
+    x: np.ndarray | None  # [B, T_env, C] float32, zero-padded (or None)
     y: np.ndarray  # [B, U_max] int32
     x_lens: np.ndarray  # [B] int32
     y_lens: np.ndarray  # [B] int32
     days: np.ndarray  # [B] int32
     weight: np.ndarray  # [B] float32: 1 real row, 0 pad row
+    idx: np.ndarray | None = None  # [B] trial indices into the dataset
+    t_env: int = 0  # time envelope this batch pads to
 
 
 def _gather(ds: PackedDataset, idx: np.ndarray, t_max: int, u_max: int,
-            weight: np.ndarray) -> Batch:
+            weight: np.ndarray, materialize_x: bool = True) -> Batch:
     b = len(idx)
     c = ds.n_channels
-    x = np.zeros((b, t_max, c), dtype=np.float32)
     lens = ds.lengths[idx]
-    for j, i in enumerate(idx):
-        n = min(int(lens[j]), t_max)
-        x[j, :n] = ds.features[ds.offsets[i] : ds.offsets[i] + n]
+    if materialize_x:
+        x = np.zeros((b, t_max, c), dtype=np.float32)
+        for j, i in enumerate(idx):
+            n = min(int(lens[j]), t_max)
+            x[j, :n] = ds.features[ds.offsets[i] : ds.offsets[i] + n]
+    else:
+        x = None
     y = np.zeros((b, u_max), dtype=np.int32)
     width = min(u_max, ds.labels.shape[1])
     y[:, :width] = ds.labels[idx][:, :width]
@@ -53,6 +64,8 @@ def _gather(ds: PackedDataset, idx: np.ndarray, t_max: int, u_max: int,
         y_lens=ds.label_lens[idx],
         days=ds.days[idx],
         weight=weight.astype(np.float32),
+        idx=np.asarray(idx),
+        t_env=t_max,
     )
 
 
@@ -74,13 +87,29 @@ def bucket_batch_sizes(
     part-empty at every scan step (B=104 measured −22%, B=128 +9%) —
     use ``multiple=64`` for the GRU family. Multiples ≥8 also keep every
     B_k data-parallel-shardable on meshes up to 8-way.
+
+    NOTE: ``multiple`` is also a hard FLOOR — a bucket whose
+    budget-derived B_k falls below it is clamped UP, so a small
+    ``tokensPerBatch`` can exceed its token budget by up to
+    ``multiple·T_k / token_budget``× on long-envelope buckets (a memory
+    surprise if the budget was chosen to bound HBM). A warning is issued
+    when the floor overrides the budget.
     """
-    return [
-        min(max(multiple,
-                int(token_budget // min(t, t_max)) // multiple * multiple),
-            max_batch)
-        for t in buckets
-    ]
+    sizes = []
+    for t in buckets:
+        b_k = int(token_budget // min(t, t_max)) // multiple * multiple
+        if b_k < multiple:
+            import warnings
+
+            warnings.warn(
+                f"tokensPerBatch={token_budget} derives B_k={b_k} < "
+                f"batchMultiple={multiple} for bucket T={t}; clamping up "
+                f"to {multiple} ({multiple * min(t, t_max)} tokens — over "
+                f"budget). Raise tokensPerBatch or lower batchMultiple.",
+                stacklevel=2,
+            )
+        sizes.append(min(max(multiple, b_k), max_batch))
+    return sizes
 
 
 def sample_batch(
@@ -92,6 +121,7 @@ def sample_batch(
     *,
     buckets: list[int] | None = None,
     bucket_sizes: list[int] | None = None,
+    materialize_x: bool = True,
 ) -> Batch:
     """One uniformly-random batch of distinct trials (reference per-step
     semantics).
@@ -137,18 +167,20 @@ def sample_batch(
             pad = rng.choice(members, size=b_k - len(idx), replace=True)
             idx = np.concatenate([idx, pad])
         t_env = min(int(buckets[k]), t_max)
-        return _gather(ds, idx, t_env, u_max, np.ones(b_k))
+        return _gather(ds, idx, t_env, u_max, np.ones(b_k),
+                       materialize_x=materialize_x)
     idx = rng.choice(ds.n_trials, size=min(batch_size, ds.n_trials),
                      replace=False)
     if len(idx) < batch_size:  # tiny datasets: repeat to fill the envelope
         pad = rng.choice(ds.n_trials, size=batch_size - len(idx), replace=True)
         idx = np.concatenate([idx, pad])
-    return _gather(ds, idx, t_max, u_max, np.ones(batch_size))
+    return _gather(ds, idx, t_max, u_max, np.ones(batch_size),
+                   materialize_x=materialize_x)
 
 
 def eval_batches(
     ds: PackedDataset, batch_size: int, t_max: int, u_max: int,
-    *, buckets: list[int] | None = None,
+    *, buckets: list[int] | None = None, materialize_x: bool = True,
 ) -> Iterator[Batch]:
     """Full-coverage iterator; the final partial batch is padded to the
     static batch size with repeated rows carrying weight 0.
@@ -175,7 +207,8 @@ def eval_batches(
         if buckets is not None and len(buckets) > 1:
             t_env = min(bucket_for(buckets, int(ds.lengths[idx].max())),
                         t_max)
-        yield _gather(ds, idx, t_env, u_max, weight)
+        yield _gather(ds, idx, t_env, u_max, weight,
+                      materialize_x=materialize_x)
 
 
 def round_up(x: int, multiple: int) -> int:

@@ -208,6 +208,16 @@ def _loss_and_metrics(args: dict, model: ModelAPI, params, batch_arrays, key):
         metrics["train/main_loss"] = main_loss
     else:
         loss = main_loss
+    # Tokens-constant bucketing (tokensPerBatch) trains with per-bucket
+    # batch sizes B_k; with plain mean reduction a trial's per-step gradient
+    # weight would be 1/B_k — long-sequence trials (small B_k) would get
+    # 2-3x more total gradient weight than short ones. Rescaling the loss
+    # by B_k/batchSize makes every batch an (effective) sum/batchSize, so
+    # per-trial gradient weight stays uniform across buckets exactly as in
+    # fixed-B training. Disable with tokensLossScale: false to reproduce
+    # the unscaled round-4 behavior.
+    if args.get("tokensPerBatch", 0) and args.get("tokensLossScale", True):
+        loss = loss * (x.shape[0] / int(args.get("batchSize", x.shape[0])))
     metrics["train/loss"] = loss
     return loss, metrics
 
@@ -360,6 +370,7 @@ def run_eval(
     torch_mean_semantics: bool,
     device_put: Callable[[Batch], tuple],
     buckets: list[int] | None = None,
+    materialize_x: bool = True,
 ) -> tuple[float, float, int, int]:
     """Full test pass. Returns (avg_day_loss, per, edit_dist, seq_len).
 
@@ -388,7 +399,7 @@ def run_eval(
     total_dist = 0
     total_len = 0
     for batch in eval_batches(test_ds, batch_size, t_max, u_max,
-                              buckets=buckets):
+                              buckets=buckets, materialize_x=materialize_x):
         arrays = device_put(batch)
         per_seq, tokens, dec_lens = eval_step(params, *arrays)
         per_seq = to_host(per_seq)
@@ -527,7 +538,17 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
         )
     avail = len(devices) // n_model
     n_data = min(int(args.get("n_data_devices") or avail), avail)
-    n_data = max(d for d in range(1, n_data + 1) if batch_size % d == 0)
+    # Every per-step batch must shard evenly over the data axis. With
+    # tokensPerBatch the step batch is some B_k — a multiple of
+    # batchMultiple only — so constrain n_data to divisors of
+    # batchMultiple instead of batchSize (else device_put fails mid-run
+    # on the first bucket whose B_k the mesh doesn't divide).
+    divisor_target = (
+        int(args.get("batchMultiple", 64))
+        if int(args.get("tokensPerBatch", 0)) > 0
+        else batch_size
+    )
+    n_data = max(d for d in range(1, n_data + 1) if divisor_target % d == 0)
     mesh = make_mesh(n_data=n_data, n_model=n_model,
                      devices=devices[: n_data * n_model])
     # Register the mesh so the Pallas fast paths stay live multi-device:
@@ -583,6 +604,26 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
                 for a in (batch.x, batch.y, batch.x_lens, batch.y_lens,
                           batch.days)
             )
+
+    # Device-resident data: stage the packed [ΣT, C] feature arrays in HBM
+    # once and assemble each batch on-device from host-sampled indices —
+    # the host path's per-step O(B·T·C) h2d copy becomes O(B) scalars,
+    # with identical RNG stream / batch composition (data/device_data.py).
+    # Multi-host keeps the process-local staging path (each host owns its
+    # batch shard rows).
+    device_data = bool(args.get("deviceResidentData", False)) and not multihost
+    eval_device_put = device_put_batch
+    if device_data:
+        from ..data.device_data import DeviceData
+
+        train_dd = DeviceData(train_ds, r_shard)
+        test_dd = DeviceData(test_ds, r_shard)
+
+        def device_put_batch(batch: Batch):  # noqa: F811
+            return train_dd.assemble(batch, batch_sharding=b_shard)
+
+        def eval_device_put(batch: Batch):  # noqa: F811
+            return test_dd.assemble(batch, batch_sharding=b_shard)
 
     train_step = make_train_step(args, model, tx, schedule)
     eval_step = make_eval_step(model, args)
@@ -708,7 +749,7 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
             jax.profiler.start_trace(os.path.join(output_dir, "profile"))
         batch = sample_batch(
             train_ds, np_rng, batch_size, t_max, u_max, buckets=buckets,
-            bucket_sizes=bucket_sizes,
+            bucket_sizes=bucket_sizes, materialize_x=not device_data,
         )
         key = jax.random.fold_in(base_key, step)
         state, metrics = train_step(state, *device_put_batch(batch), key)
@@ -733,8 +774,9 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
                 t_max,
                 u_max,
                 torch_mean_semantics=torch_mean,
-                device_put=device_put_batch,
+                device_put=eval_device_put,
                 buckets=buckets,
+                materialize_x=not device_data,
             )
             time_per_batch = (time.time() - start_time) / eval_every
             print(
