@@ -238,6 +238,28 @@ def sinusoidal_pos_encoding(max_len: int, d_model: int, dtype=jnp.float32):
     return jnp.asarray(pe, dtype)
 
 
+def sinusoidal_pos_rows(offset, n: int, d_model: int, dtype=jnp.float32):
+    """Rows ``[offset, offset+n)`` of the sinusoidal encoding, computed on
+    the fly (``offset`` may be a traced scalar).
+
+    The closed form needs no table, so a stream's positional encoding has
+    NO length cap — the offline ``max_pos_len`` table bound does not apply
+    to streaming sessions (values match ``sinusoidal_pos_encoding`` to
+    float32 round-off; positions stay exact up to 2^24 frames ≈ 15 days of
+    80 ms chunks, far past any physical session).
+    """
+    div = np.exp(
+        np.arange(0, d_model, 2, dtype=np.float32) * (-math.log(10000.0) / d_model)
+    )
+    pos = (
+        jnp.asarray(offset, jnp.float32) + jnp.arange(n, dtype=jnp.float32)
+    )[:, None]
+    pe = jnp.zeros((n, d_model), jnp.float32)
+    pe = pe.at[:, 0::2].set(jnp.sin(pos * div))
+    pe = pe.at[:, 1::2].set(jnp.cos(pos * div[: d_model // 2]))
+    return pe.astype(dtype)
+
+
 def _dropout(key, x, rate, train):
     # Counter-hash dropout (ops/hashrng.py): same distribution as
     # jax.random.bernoulli but the mask fuses into the consumer — saves

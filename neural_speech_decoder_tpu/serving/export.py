@@ -406,12 +406,6 @@ def export_streaming_conformer_params(
     body = st._make_body(n_f)
     body1 = st._make_body(1) if n_f > 1 else None
 
-    if n_f > cfg.max_pos_len:
-        raise ValueError(
-            f"frames_per_chunk={n_f} exceeds the positional-encoding "
-            f"table (max_pos_len={cfg.max_pos_len})"
-        )
-
     leaves, treedef = jax.tree.flatten(params)
 
     def _day(p):
@@ -454,10 +448,9 @@ def export_streaming_conformer_params(
 
     def tail(weights, raw_ctx, bin_ctx, kv_k, kv_v, conv_ctx, offset, new,
              mask):
-        """1-frame step for the flush tail: exactness to the last frame
-        the PE table supports (``streaming/conformer.py::_drain`` emits
-        tail frames one at a time for the same reason — a full-width
-        dispatch near the table end would clamp its PE slice)."""
+        """1-frame step for the flush tail (mirrors
+        ``streaming/conformer.py::_drain``'s one-frame holdback so the
+        stream realizes exactly the reference CTC length)."""
         p = jax.tree.unflatten(treedef, list(weights))
         w_day, b_day = _day(p)
         aff = affine_body(new, w_day, b_day) * mask[None, :, None].astype(cdt)
@@ -510,6 +503,10 @@ def export_streaming_conformer_params(
         "n_channels": c,
         "n_classes": cfg.n_classes + 1,
         "max_pos_len": cfg.max_pos_len,
+        # round-5 artifacts compute streaming PE on the fly
+        # (sinusoidal_pos_rows) — no session-length cap; the driver keeps
+        # the max_pos_len budget check only for pre-round-5 artifacts.
+        "pe_unbounded": True,
         "day_idx": day_idx,
         "has_tail": body1 is not None,
         "outputs": "log_probs [B, F, K] (log-softmax)",

@@ -119,16 +119,18 @@ class ExportedStreamer:
         if self._buf.shape[1] < need:
             return None
         if self._conformer:
+            # Compat mode for pre-round-5 artifacts only: their exported
+            # graphs slice a PE TABLE, which past max_pos_len would
+            # silently clamp (wrong log-probs forever) — fail loudly
+            # instead. Round-5+ artifacts (meta pe_unbounded) compute PE
+            # on the fly and stream without any session-length cap.
             max_pos = m["max_pos_len"]
-            if self._offset + frames > max_pos:
-                # mirrors the live streamer's loud PE-budget failure
-                # (streaming/conformer.py::_check_pe_budget) — checked
-                # BEFORE consuming the buffer
+            if not m.get("pe_unbounded") and self._offset + frames > max_pos:
                 raise RuntimeError(
                     f"stream needs {self._offset + frames} encoder "
                     f"frames, past the positional-encoding table "
                     f"(max_pos_len={max_pos}); reset() the stream, or "
-                    f"re-export with a larger max_pos_len"
+                    f"re-export with this framework version (unbounded PE)"
                 )
             mask = (
                 (self._pos + np.arange(need)) < self._t_real
@@ -186,9 +188,10 @@ class ExportedStreamer:
         """Zero-pad (offline right-padding semantics) until the reference
         CTC length ``(T - kernel) // stride`` is realized; returns the
         remaining valid frames. Conformer artifacts switch to the
-        exported 1-frame tail step for the final partial chunk — both
-        fewer wasted frames and PE-exactness near the table end (the
-        live streamer's ``emit(1)`` tail loop)."""
+        exported 1-frame tail step for the final partial chunk — fewer
+        wasted frames (the live streamer's ``emit(1)`` tail loop); for
+        pre-round-5 artifacts the tail also avoids clamping the PE-table
+        slice near its end."""
         assert not self._flushed
         self._flushed = True
         m = self.meta
@@ -204,6 +207,7 @@ class ExportedStreamer:
                     target - self._emitted < n_f
                     or (
                         self._conformer
+                        and not m.get("pe_unbounded")
                         and self._offset + n_f > m["max_pos_len"]
                     )
                 )

@@ -13,7 +13,9 @@ offline forward **incrementally**, chunk-boundary-invariantly:
   * every ConformerBlock carries a fixed-size K/V cache of the last
     ``attn_left_context`` frames (the attention window) and the
     ``conv_kernel - 1`` GLU frames its causal depthwise conv needs;
-  * the sinusoidal positional encoding indexes by absolute frame offset;
+  * the sinusoidal positional encoding is computed on the fly from the
+    absolute frame offset (``sinusoidal_pos_rows``) — sessions have NO
+    length cap (the offline ``max_pos_len`` table bound is offline-only);
   * one fixed-shape jitted step per chunk (state donated — the caches
     update in place on device).
 
@@ -39,7 +41,7 @@ from ..models.conformer import (
     ConformerConfig,
     _layer_norm,
     _linear,
-    sinusoidal_pos_encoding,
+    sinusoidal_pos_rows,
 )
 from ..ops.gaussian import gaussian_kernel
 
@@ -108,9 +110,6 @@ class ConformerStreamer:
         # program megabytes large (and overflows the remote-compile
         # request through the axon tunnel).
         self._params = jax.device_put(params)
-        self._pe = sinusoidal_pos_encoding(
-            cfg.max_pos_len, cfg.latent_dim, cfg.compute_dtype
-        )
         self._affine, self._prep = self._build_prep()
         self._steps: dict[int, callable] = {}
         # steady bin-residual width -> jitted single-dispatch step. Lives
@@ -211,7 +210,6 @@ class ConformerStreamer:
         lc = cfg.attn_left_context
         kc = cfg.conv_kernel
         cdt = cfg.compute_dtype
-        pe = self._pe
 
         def ff(p, z):
             h = _linear(p["lin1"], _layer_norm(p["ln"], z))
@@ -238,9 +236,9 @@ class ConformerStreamer:
                 params["bottleneck"]["lin2"],
                 jax.nn.relu(_linear(params["bottleneck"]["lin1"], z)),
             )
-            z = z + jax.lax.dynamic_slice(
-                pe, (offset, 0), (n_f, d)
-            )[None, :, :]
+            # On-the-fly sinusoidal PE rows: streams have NO length cap
+            # (the offline table bound applies to offline batches only).
+            z = z + sinusoidal_pos_rows(offset, n_f, d, cdt)[None, :, :]
 
             qpos = offset + jnp.arange(n_f)[:, None]           # [n_f, 1]
             kpos = offset - lc + jnp.arange(lc + n_f)[None, :]  # [1, lc+n_f]
@@ -393,7 +391,6 @@ class ConformerStreamer:
         fast_n = self.cfg.temporal_stride * self.frames_per_chunk
         if self._fast_state is not None:
             if new_bins.shape[1] == fast_n:
-                self._check_pe_budget(self.frames_per_chunk)
                 w0 = self._fast_state[1].shape[1]
                 fused = self._fused_cache.get(w0)
                 if fused is None:  # NOTE: setdefault would rebuild (and
@@ -445,7 +442,6 @@ class ConformerStreamer:
 
         def emit(nf):
             need = k + (nf - 1) * s
-            self._check_pe_budget(nf)
             chunk = jnp.asarray(self._bins[:, :need])
             logp, self._caches = self._step_for(nf)(
                 self._params, chunk, self._caches, self._offset
@@ -469,19 +465,6 @@ class ConformerStreamer:
         if out:
             return np.concatenate(out, axis=1)
         return np.zeros((self.batch, 0, self.cfg.n_classes + 1), np.float32)
-
-    def _check_pe_budget(self, n_new: int) -> None:
-        """The sinusoidal PE table ends at cfg.max_pos_len; past it,
-        dynamic_slice would silently clamp and every later frame would
-        reuse the final PE rows (silently wrong log-probs forever). The
-        offline forward fails loudly there — so does the streamer."""
-        if self._offset + n_new > self.cfg.max_pos_len:
-            raise RuntimeError(
-                f"stream reached {self._offset + n_new} encoder frames, "
-                f"past the positional-encoding table "
-                f"(max_pos_len={self.cfg.max_pos_len}); reset() the "
-                f"stream or raise max_pos_len"
-            )
 
     def decode_beam(
         self,

@@ -72,9 +72,15 @@ def test_conformer_streamer_rejects_even_smooth_kernel():
         ConformerStreamer(params, cfg, day_idx=0)
 
 
-def test_conformer_streamer_pe_budget_guard():
+def test_conformer_streamer_unbounded_pe():
+    """Round-5: live streams have NO PE length cap — a session crosses a
+    tiny max_pos_len=8 table bound without error and matches the offline
+    forward run with a large table (PE computed on the fly)."""
+    import dataclasses
+
     from neural_speech_decoder_tpu.models.conformer import (
         ConformerConfig,
+        conformer_forward,
         init_conformer_params,
     )
     from neural_speech_decoder_tpu.streaming.conformer import (
@@ -91,9 +97,19 @@ def test_conformer_streamer_pe_budget_guard():
     params = init_conformer_params(jax.random.key(0), cfg=cfg)
     st = ConformerStreamer(params, cfg, day_idx=0, frames_per_chunk=1)
     rng = np.random.default_rng(0)
-    with pytest.raises(RuntimeError, match="positional-encoding"):
-        for i in range(20):  # 20 chunks x 1 frame > max_pos_len=8
-            st.process(rng.standard_normal((1, 4, 8)).astype(np.float32))
+    t = 168  # 40 encoder frames — 5x past the old max_pos_len=8 cap
+    x = rng.standard_normal((1, t, 8)).astype(np.float32)
+    out = [st.process(x[:, i : i + 4]) for i in range(0, t, 4)]
+    out.append(st.flush())
+    streamed = np.concatenate(out, axis=1)
+    big = dataclasses.replace(cfg, max_pos_len=256)
+    logp, _, _ = conformer_forward(
+        params, big, jnp.asarray(x), jnp.asarray([0]), None,
+        train=False, key=None,
+    )
+    offline = np.asarray(logp)[:, : (t - 8) // 4]
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
 
 
 def test_ondevice_beam_lens_capped_at_max_len():

@@ -357,7 +357,11 @@ def test_exported_conformer_streamer_matches_live(tmp_path):
     np.testing.assert_allclose(ea, la, atol=1e-4)
 
 
-def test_exported_conformer_streamer_pe_budget(tmp_path):
+def test_exported_conformer_streamer_unbounded_pe_soak(tmp_path):
+    """Round-5: exported sessions have NO PE length cap. An artifact
+    exported with a tiny max_pos_len=8 streams far past that boundary and
+    still matches the offline forward (run with a big table) — the
+    exported graph computes PE on the fly (sinusoidal_pos_rows)."""
     from neural_speech_decoder_tpu.serving import (
         export_streaming_conformer_params, load_exported_streamer,
     )
@@ -365,17 +369,24 @@ def test_exported_conformer_streamer_pe_budget(tmp_path):
     params, cfg = _conf_stream_model()
     import dataclasses
 
-    cfg = dataclasses.replace(cfg, max_pos_len=8)
-    params, _ = _conf_stream_model()  # params are PE-independent
+    small = dataclasses.replace(cfg, max_pos_len=8)
     art = export_streaming_conformer_params(
-        params, cfg, str(tmp_path / "cart"), batch=1, frames_per_chunk=2,
+        params, small, str(tmp_path / "cart"), batch=1, frames_per_chunk=2,
     )
     st = load_exported_streamer(art)
+    assert st.meta["pe_unbounded"] is True
     rng = np.random.default_rng(0)
-    with pytest.raises(RuntimeError, match="positional-encoding"):
-        for i in range(20):
-            st.feed(rng.standard_normal((1, 8, cfg.n_channels))
-                    .astype(np.float32))
+    t = 168  # -> 40 encoder frames, 5x the exported table bound
+    x = rng.standard_normal((1, t, cfg.n_channels)).astype(np.float32)
+    out = []
+    for i in range(0, t, 8):
+        out.append(st.feed(x[:, i : i + 8]))
+    out.append(st.flush())
+    streamed = np.concatenate(out, axis=1)
+    big = dataclasses.replace(cfg, max_pos_len=256)
+    offline = _conf_offline(params, big, x)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, atol=1e-4)
 
 
 def test_export_cli_both_modes(tmp_path):
