@@ -1,0 +1,250 @@
+"""Construct an OPT-layout checkpoint whose weights EXACTLY implement a
+bigram language model over a word-level vocabulary.
+
+Why this exists: the reference rescoring pass loads trained OPT-6.7B
+weights from the HuggingFace hub (``eval_competition.py:84-86``); this
+environment has no model egress, so a *trained* rescorer cannot exist here
+— but a *correct* one can. This module builds genuine full-size OPT
+weights (same tensor names/shapes/dtypes as ``facebook/opt-6.7b``, same
+FLOPs at inference) that realize
+
+    log P(w_t | w_<t) = bigram log P(w_t | w_{t-1})
+
+exactly (up to a per-context temperature), so the competition pipeline's
+LLM-rescoring leg can demonstrate a real WER improvement over the WFST
+top-1 on a constructed-ambiguity corpus while exercising the *identical*
+production path: real on-disk sharded safetensors → ``stream_load_hf`` →
+optional int8 → the jitted 6.7B forward on the chip.
+
+The construction (all LayerNorms are γ=1/β=0 so they reduce to known
+per-vector scalings; see ``_tensor_value`` for the algebra):
+
+  * positional embeddings are zero; every attention ``out_proj`` and every
+    FFN ``fc2`` is zero EXCEPT the last layer's — so layers 0..L-2 are
+    exact identities on the residual stream (their matmuls still run at
+    full size: benchmark-honest FLOPs);
+  * token embeddings carry three blocks: a one-hot *context* slot (scale
+    ``s_g``), a one-hot *target* slot (scale ``t_o``), and a mean-balance
+    coordinate so LayerNorm is a pure scaling;
+  * the last layer's FFN implements an arbitrary linear map via the ReLU
+    pair trick ``fc2 · relu(fc1 · x)`` with ``fc1 = [I; -I]``,
+    ``fc2 = [A, -A]`` ⇒ the FFN adds exactly ``A·x`` to the residual.
+    ``A`` is chosen so the residual after the last layer becomes
+    ``eps·e_u + w_u`` where ``w_u`` holds the (zero-mean) centred bigram
+    log-prob row of context ``u`` in the target block;
+  * tied logits ``h @ wte.T`` then read those rows back against each
+    target's one-hot slot: ``logit[v] ∝ logP(v|u) - mean_v logP(v|u)``.
+    Out-of-corpus tokens have embeddings orthogonal to everything ⇒
+    logit exactly 0, far below in-corpus logits (the row shift keeps
+    in-corpus logits positive), i.e. heavily penalized — the desired LM
+    behavior for words outside the demo corpus.
+
+Because the final LayerNorm divides by ``||h_u||``, each context row
+would get its own temperature; the construction removes that exactly by
+padding every ``w_u`` to a COMMON norm in two reserved dims (one norm
+filler + its mean balance — legal because the linear map's action on each
+context basis direction is free). The realized model is then precisely
+the λ-sharpened bigram ``P'(v|u) ∝ P(v|u)^λ`` with one global
+``λ = √d·t_o·β/H`` — a proper LM, rank-equivalent to the true bigram at
+every position. Verified end to end (artifact on disk → stream_load →
+engine logprobs vs the analytic sharpened-LM oracle, bf16 and int8) in
+``tests/test_bigram_opt.py``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+
+# Special-token ids, OPT-convention-compatible (</s> = 2 is OPT's bos/eos).
+BOS_ID = 2
+PAD_ID = 1
+UNK_ID = 3
+FIRST_WORD_ID = 4
+
+
+def build_wordlevel_tokenizer(vocab_words: list[str], out_dir: str) -> None:
+    """Write a local word-level HF tokenizer (no network): ids 0-3 are
+    specials (OPT-style ``</s>``=2 bos), words follow in the given order.
+    The post-processor prepends ``</s>`` exactly like the OPT tokenizer,
+    so ``engine_scorer``'s first scored position is P(w_1 | BOS)."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    from tokenizers.processors import TemplateProcessing
+
+    vocab = {"<s>": 0, "<pad>": PAD_ID, "</s>": BOS_ID, "<unk>": UNK_ID}
+    for i, w in enumerate(vocab_words):
+        vocab[w] = FIRST_WORD_ID + i
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Whitespace()
+    tok.post_processor = TemplateProcessing(
+        single="</s> $A", pair="</s> $A </s> $B",
+        special_tokens=[("</s>", BOS_ID)],
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    tok.save(os.path.join(out_dir, "tokenizer.json"))
+    with open(os.path.join(out_dir, "tokenizer_config.json"), "w") as f:
+        json.dump(
+            {
+                "tokenizer_class": "PreTrainedTokenizerFast",
+                "bos_token": "</s>",
+                "eos_token": "</s>",
+                "pad_token": "<pad>",
+                "unk_token": "<unk>",
+                "model_max_length": 2048,
+            },
+            f, indent=2,
+        )
+
+
+class BigramOptBuilder:
+    """Per-tensor weight generator for ``make_opt_checkpoint``-style
+    streaming writers.
+
+    Args:
+      spec: EngineSpec of the target OPT size.
+      logp: ``[K+1, K]`` float64 — row 0 is the BOS-context distribution,
+        row 1+u the distribution after corpus word u; rows are log-probs
+        (normalized over the K corpus words).
+      token_ids: ``[K]`` vocab ids of the corpus words (order matches
+        logp columns); contexts are the same words plus BOS_ID.
+    """
+
+    def __init__(self, spec, logp: np.ndarray, token_ids: np.ndarray,
+                 *, s_g: float = 1.0, t_o: float = 4.0, beta: float = 1.0,
+                 eps_id: float = 0.01):
+        k = logp.shape[1]
+        assert logp.shape[0] == k + 1 and len(token_ids) == k
+        d = spec.d_model
+        # dim budget: contexts (K+1) + targets (K) + embedding mean-fix +
+        # 2 OOV dims + norm filler + filler mean-fix
+        assert 2 * k + 6 <= d, f"corpus size {k} too large for d={d}"
+        self.spec = spec
+        self.k = k
+        self.token_ids = np.asarray(token_ids)
+        self.s_g, self.t_o, self.beta, self.eps_id = s_g, t_o, beta, eps_id
+        # dim layout
+        self.g0 = 0                    # context block: [g0, g0+k+1)
+        self.o0 = k + 1                # target block: [o0, o0+k)
+        self.mu = 2 * k + 1            # embedding mean-balance dim
+        self.nu = (2 * k + 2, 2 * k + 3)  # OOV/pad/unk dims
+        self.rho = (2 * k + 4, 2 * k + 5)  # norm filler + its mean balance
+        # centred rows (zero-sum -> no extra mean fix needed for q itself)
+        self.q = beta * (logp - logp.mean(axis=1, keepdims=True))
+        # common norm: pad every row to H so the final LayerNorm applies
+        # ONE global temperature instead of a per-context one
+        norms2 = np.sum(self.q**2, axis=1)
+        self.h_norm2 = 1.02 * float(norms2.max())
+        self.fill = np.sqrt((self.h_norm2 - norms2) / 2.0)
+
+    # -- embeddings ---------------------------------------------------------
+    def wte(self) -> np.ndarray:
+        if getattr(self, "_wte", None) is not None:
+            return self._wte
+        d, k = self.spec.w_dim, self.k
+        assert self.spec.word_dim is None, "350m-style split not supported"
+        e = np.zeros((self.spec.vocab, d), np.float32)
+        # OOV/pad/unk/<s>: zero-mean vector in reserved dims, orthogonal to
+        # everything the residual stream can reach -> logit exactly 0.
+        e[:, self.nu[0]] = 1.0
+        e[:, self.nu[1]] = -1.0
+        ids = self.token_ids
+        e[ids] = 0.0
+        e[ids, self.g0 + 1 + np.arange(k)] = self.s_g
+        e[ids, self.o0 + np.arange(k)] = self.t_o
+        e[ids, self.mu] = -(self.s_g + self.t_o)
+        e[BOS_ID] = 0.0
+        e[BOS_ID, self.g0] = self.s_g
+        e[BOS_ID, self.mu] = -self.s_g
+        self._wte = e
+        return e
+
+    # -- the last-layer linear map A ---------------------------------------
+    def _ln_scale(self, vec: np.ndarray) -> float:
+        """LayerNorm (γ=1, β=0) of a zero-mean vector is a pure scaling by
+        this factor (includes the ε the engine uses)."""
+        d = self.spec.d_model
+        var = float(vec @ vec) / d
+        return 1.0 / np.sqrt(var + self.spec.ln_eps)
+
+    def a_matrix(self) -> np.ndarray:
+        """A with columns only on context dims: for context u,
+        ``A · LN(e_u) = w_u - (1 - eps_id)·e_u`` ⇒ residual becomes
+        ``eps_id·e_u + w_u``. Non-context inputs (OOV dims, target dims)
+        map to 0 ⇒ OOV contexts pass through untouched (finite LN, uniform
+        in-corpus logits)."""
+        if getattr(self, "_a", None) is not None:
+            return self._a
+        d, k = self.spec.d_model, self.k
+        emb = self.wte()
+        a = np.zeros((d, d), np.float32)
+        for row in range(k + 1):  # 0 = BOS context, 1+u = word u
+            tok = BOS_ID if row == 0 else int(self.token_ids[row - 1])
+            e_u = emb[tok]
+            c_u = self._ln_scale(e_u)
+            w_u = np.zeros(d, np.float32)
+            w_u[self.o0 : self.o0 + k] = self.q[row]
+            w_u[self.rho[0]] = self.fill[row]
+            w_u[self.rho[1]] = -self.fill[row]
+            col = (w_u - (1.0 - self.eps_id) * e_u) / (c_u * self.s_g)
+            a[:, self.g0 + row] = col
+        self._a = a
+        return a
+
+    # -- tensor_fn for the checkpoint writer --------------------------------
+    def tensor_fn(self, name: str, shape) -> np.ndarray | None:
+        """Value for each OPT tensor; None -> writer default (used for
+        nothing here: we pin every tensor so the model is exactly the
+        construction)."""
+        last = f"model.decoder.layers.{self.spec.n_layer - 1}."
+        if name == "model.decoder.embed_tokens.weight":
+            return self.wte().astype(np.float16)
+        if name == "model.decoder.embed_positions.weight":
+            return np.zeros(shape, np.float16)
+        if name.endswith("norm.weight"):
+            return np.ones(shape, np.float16)
+        if name.endswith(".bias") or name.endswith("norm.bias"):
+            return np.zeros(shape, np.float16)
+        if name == last + "fc1.weight":  # [f, d] = [I; -I; 0]
+            f, d = shape
+            m = np.zeros(shape, np.float16)
+            m[:d] = np.eye(d, dtype=np.float16)
+            m[d : 2 * d] = -np.eye(d, dtype=np.float16)
+            return m
+        if name == last + "fc2.weight":  # [d, f] = [A, -A, 0]
+            d, f = shape
+            a = self.a_matrix().astype(np.float16)
+            m = np.zeros(shape, np.float16)
+            m[:, :d] = a
+            m[:, d : 2 * d] = -a
+            return m
+        # everything else (all attention projections, other FFNs) is zero —
+        # identity layers; matmuls still run at full size.
+        return np.zeros(shape, np.float16)
+
+    # -- analytic oracle ----------------------------------------------------
+    def expected_logits(self, context_token: int) -> np.ndarray:
+        """fp64 oracle of the final logits row for a given context token —
+        what the construction should produce before dtype rounding."""
+        emb = self.wte().astype(np.float64)
+        e_u = emb[context_token]
+        ln1 = e_u * self._ln_scale(e_u)
+        h = e_u + self.a_matrix().astype(np.float64) @ ln1
+        h_ln = (h - h.mean()) / np.sqrt(h @ h / len(h) - h.mean() ** 2
+                                        + self.spec.ln_eps)
+        return emb @ h_ln
+
+    def oracle_logp(self) -> np.ndarray:
+        """``[K+1, K]`` analytic ``log P'(v|u)`` of the REALIZED model
+        (the λ-sharpened bigram, OOV mass included) — what the engine
+        should reproduce up to dtype rounding."""
+        rows = []
+        for row in range(self.k + 1):
+            tok = BOS_ID if row == 0 else int(self.token_ids[row - 1])
+            lg = self.expected_logits(tok)
+            lse = np.logaddexp.reduce(lg)
+            rows.append((lg - lse)[self.token_ids])
+        return np.stack(rows)

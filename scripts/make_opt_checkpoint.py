@@ -64,7 +64,12 @@ def tensor_plan(size: str):
     return spec, plan
 
 
-def write_checkpoint(size: str, out: str, seed: int = 0) -> None:
+def write_checkpoint(size: str, out: str, seed: int = 0,
+                     tensor_fn=None) -> None:
+    """Write the artifact. ``tensor_fn(name, shape) -> array | None``
+    overrides individual tensors (None falls back to the random init) —
+    used by the bigram-LM construction (decoding/bigram_opt.py) to emit a
+    checkpoint with *designed* weights in the exact same layout."""
     from safetensors.numpy import save_file
 
     spec, plan = tensor_plan(size)
@@ -100,7 +105,11 @@ def write_checkpoint(size: str, out: str, seed: int = 0) -> None:
 
     for name, shape in plan:
         n = int(np.prod(shape))
-        if name.endswith("norm.weight"):
+        arr = tensor_fn(name, shape) if tensor_fn is not None else None
+        if arr is not None:
+            assert tuple(arr.shape) == tuple(shape), (name, arr.shape, shape)
+            arr = np.ascontiguousarray(arr, np.float16)
+        elif name.endswith("norm.weight"):
             arr = np.ones(shape, np.float16)
         elif name.endswith(".bias") or name.endswith("norm.bias"):
             arr = np.zeros(shape, np.float16)

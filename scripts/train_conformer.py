@@ -18,6 +18,12 @@ def main():
     p.add_argument("--datasetPath", required=True)
     p.add_argument("--nBatch", type=int, default=15000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--device-resident-data", action="store_true",
+        help="stage the packed dataset in device HBM once and assemble "
+             "batches on-device (data/device_data.py) — removes the "
+             "per-step host->device batch copy",
+    )
     cli = p.parse_args()
 
     # Reference Conformer hyperparameters (scripts/train_conformer.py:4-58).
@@ -61,6 +67,7 @@ def main():
         "compute_dtype": "bfloat16",
         "checkpointEvery": 500,
         "resume": cli.resume,
+        "deviceResidentData": cli.device_resident_data,
     }
     train_model(args)
 
