@@ -114,31 +114,54 @@ class BigramOptBuilder:
     """
 
     def __init__(self, spec, logp: np.ndarray, token_ids: np.ndarray,
-                 *, s_g: float = 1.0, t_o: float = 4.0, beta: float = 1.0,
-                 eps_id: float = 0.01):
+                 *, s_g: float = 1.0, beta: float = 1.0,
+                 eps_id: float = 0.01, target_lambda: float = 1.0,
+                 oov_penalty: float = 20.0):
         k = logp.shape[1]
         assert logp.shape[0] == k + 1 and len(token_ids) == k
         d = spec.d_model
         # dim budget: contexts (K+1) + targets (K) + embedding mean-fix +
-        # 2 OOV dims + norm filler + filler mean-fix
-        assert 2 * k + 6 <= d, f"corpus size {k} too large for d={d}"
+        # 2 OOV dims + norm filler + OOV-penalty carrier + mean balance
+        assert 2 * k + 7 <= d, f"corpus size {k} too large for d={d}"
         self.spec = spec
         self.k = k
         self.token_ids = np.asarray(token_ids)
-        self.s_g, self.t_o, self.beta, self.eps_id = s_g, t_o, beta, eps_id
+        self.s_g, self.beta, self.eps_id = s_g, beta, eps_id
         # dim layout
         self.g0 = 0                    # context block: [g0, g0+k+1)
         self.o0 = k + 1                # target block: [o0, o0+k)
         self.mu = 2 * k + 1            # embedding mean-balance dim
-        self.nu = (2 * k + 2, 2 * k + 3)  # OOV/pad/unk dims
-        self.rho = (2 * k + 4, 2 * k + 5)  # norm filler + its mean balance
-        # centred rows (zero-sum -> no extra mean fix needed for q itself)
+        self.nu = (2 * k + 2, 2 * k + 3)  # OOV zero-mean pair
+        self.rho = 2 * k + 4           # norm filler dim
+        self.pi = 2 * k + 5            # OOV-penalty carrier dim
+        self.rho2 = 2 * k + 6          # residual mean-balance dim
+        # centred rows (zero-sum over the target block)
         self.q = beta * (logp - logp.mean(axis=1, keepdims=True))
-        # common norm: pad every row to H so the final LayerNorm applies
-        # ONE global temperature instead of a per-context one
         norms2 = np.sum(self.q**2, axis=1)
-        self.h_norm2 = 1.02 * float(norms2.max())
-        self.fill = np.sqrt((self.h_norm2 - norms2) / 2.0)
+        m = float(norms2.max())
+        # Every context's residual carries a CONSTANT p0 in dim pi; every
+        # OOV token's embedding has -c in pi (+c in nu[0] for zero mean),
+        # so OOV logits are exactly -oov_penalty for every context:
+        #   kappa * p0 * c = oov_penalty,  kappa = sqrt(d)/H,  c = p0.
+        # Norm filler rho pads ||residual|| to the common H (so the final
+        # LayerNorm applies ONE global temperature); solving the coupled
+        # constraints: H^2 = 1.02*(m + 1) + 1.5*p0^2, p0^2 = P0*H/sqrt(d)
+        # -> quadratic in H.
+        p0h = 1.5 * 1.02 * oov_penalty / np.sqrt(d)
+        h = (p0h + np.sqrt(p0h**2 + 4 * 1.02 * (m + 1))) / 2.0
+        self.h_norm = float(h)
+        self.p0 = float(np.sqrt(oov_penalty * h / np.sqrt(d)))
+        self.oov_c = self.p0
+        # fill solves ||q||^2 + fill^2 + p0^2 + (fill+p0)^2 = H^2
+        disc = 2.0 * (h * h - norms2 - self.p0**2) - self.p0**2
+        assert np.all(disc >= 0), "norm budget infeasible; raise h margin"
+        self.fill = (-self.p0 + np.sqrt(disc)) / 2.0
+        # realized logits: kappa * t_o * q[v]; t_o sets the global
+        # temperature exactly (lambda=1 -> the TRUE bigram, re-normalized
+        # over corpus + the exp(-oov_penalty) OOV mass)
+        self.t_o = float(target_lambda * h / (np.sqrt(d) * beta))
+        self.target_lambda = target_lambda
+        self.oov_penalty = oov_penalty
 
     # -- embeddings ---------------------------------------------------------
     def wte(self) -> np.ndarray:
@@ -147,10 +170,11 @@ class BigramOptBuilder:
         d, k = self.spec.w_dim, self.k
         assert self.spec.word_dim is None, "350m-style split not supported"
         e = np.zeros((self.spec.vocab, d), np.float32)
-        # OOV/pad/unk/<s>: zero-mean vector in reserved dims, orthogonal to
-        # everything the residual stream can reach -> logit exactly 0.
-        e[:, self.nu[0]] = 1.0
-        e[:, self.nu[1]] = -1.0
+        # OOV/pad/unk/<s>: zero-mean vector whose only overlap with the
+        # residual stream is the constant-p0 penalty dim pi -> logit is
+        # exactly -oov_penalty for every context.
+        e[:, self.nu[0]] = self.oov_c
+        e[:, self.pi] = -self.oov_c
         ids = self.token_ids
         e[ids] = 0.0
         e[ids, self.g0 + 1 + np.arange(k)] = self.s_g
@@ -187,8 +211,9 @@ class BigramOptBuilder:
             c_u = self._ln_scale(e_u)
             w_u = np.zeros(d, np.float32)
             w_u[self.o0 : self.o0 + k] = self.q[row]
-            w_u[self.rho[0]] = self.fill[row]
-            w_u[self.rho[1]] = -self.fill[row]
+            w_u[self.rho] = self.fill[row]
+            w_u[self.pi] = self.p0
+            w_u[self.rho2] = -(self.fill[row] + self.p0)
             col = (w_u - (1.0 - self.eps_id) * e_u) / (c_u * self.s_g)
             a[:, self.g0 + row] = col
         self._a = a

@@ -81,6 +81,13 @@ class ConformerConfig:
     # there); "force" = kernel in interpreter mode off-TPU (tests).
     # See ops/pallas/ffn_kernel.py.
     fused_ffn: bool | str = False
+    # Fused conv-module kernel (ops/pallas/conv_module_kernel.py) —
+    # round-5 experiment settling the conv-module question with a
+    # measured full-step A/B instead of the round-3 corollary
+    # (BASELINE.md "Fused conv-module experiment"). Opt-in True = auto
+    # gate; "force" = interpreter mode off-TPU (tests). Single-device
+    # only (multi-device falls back to the XLA twin).
+    fused_conv: bool | str = False
     # Head-parallel tensor parallelism: when True, in_proj_w/in_proj_b use
     # the per-head-interleaved column order (head, {q,k,v}, dh) instead of
     # torch's ({q,k,v}, head, dh), so sharding the last weight axis over a
@@ -557,11 +564,38 @@ def _attention(p, cfg, x, pad_mask, out_lens, key, train):
     return _linear(p["out"], out2d)
 
 
-def _conv_module(p, x, key, dropout, train, causal=False):
+def _use_fused_conv(cfg: "ConformerConfig", t: int, b: int) -> bool:
+    """Gate for the fused conv-module kernel — same ladder as
+    ``_use_fused_ffn`` but single-device only (the experiment doesn't
+    carry a shard_map wrapper)."""
+    d = cfg.latent_dim
+    kw = cfg.conv_kernel
+    # bwd VMEM: pw weights + dW accumulators + several [T, 2D] f32 blocks
+    vmem_est = 3 * d * d * 2 + (3 * d * d + kw * d) * 4 + 6 * t * 2 * d * 4
+    shapes_ok = d % 128 == 0 and kw % 2 == 1 and vmem_est <= (110 << 20)
+    gate = _fused_gate(cfg.fused_conv, shapes_ok, cfg)
+    return bool(gate) if gate is not None else False
+
+
+def _conv_module(p, x, key, dropout, train, causal=False, cfg=None):
     """Conformer conv module incl. residual (transformer_ctc.py:148-191).
 
     ``causal=True`` left-pads the depthwise conv (k-1, 0) so each output
     frame depends only on past/current frames (streaming mode)."""
+    if cfg is not None and _use_fused_conv(cfg, x.shape[1], x.shape[0]):
+        from ..ops.pallas.conv_module_kernel import fused_conv_module
+
+        h = fused_conv_module(
+            x, p["ln"]["scale"], p["ln"]["bias"], p["pw1"]["w"],
+            p["pw1"]["b"], p["dw_w"], p["dw_b"], p["ln_conv"]["scale"],
+            p["ln_conv"]["bias"], p["pw2"]["w"], p["pw2"]["b"],
+            key,
+            dropout_rate=dropout if key is not None else 0.0,
+            train=train and key is not None,
+            causal=causal,
+            interpret=cfg.fused_conv == "force",
+        )
+        return x + h
     residual = x
     h = _layer_norm(p["ln"], x)
     h = _linear(p["pw1"], h)  # [B, T, 2D]
@@ -604,7 +638,7 @@ def _block(p, cfg: ConformerConfig, x, pad_mask, out_lens, key, train):
     attn = _dropout(keys[3], attn, cfg.dropout, train)
     x = x + _drop_path(keys[4], attn, cfg.drop_path_prob, train)
     x = _conv_module(p["conv"], x, keys[5], cfg.dropout, train,
-                     causal=cfg.causal)
+                     causal=cfg.causal, cfg=cfg)
     x = x + _drop_path(
         keys[6], 0.5 * _ff_module(p["ff2"], x, keys[7], cfg.dropout, train,
                           cfg),

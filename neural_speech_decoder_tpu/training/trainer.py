@@ -97,6 +97,10 @@ def build_model(args: dict, n_days: int) -> ModelAPI:
             drop_path_prob=args.get("drop_path_prob", 0.1),
             compute_dtype=jnp.dtype(args.get("compute_dtype", "float32")),
             fused_attention=args.get("fused_attention", True),
+            # opt-in experiment kernels (measured-NO-GAIN defaults OFF;
+            # BASELINE.md "Fused-FFN" / "Fused conv-module" experiments)
+            fused_ffn=args.get("fused_ffn", False),
+            fused_conv=args.get("fused_conv", False),
             # streaming-compatible variant (banded attention + causal convs)
             causal=args.get("causal", False),
             attn_left_context=args.get("attn_left_context", 128),
@@ -799,7 +803,12 @@ def _train_model_impl(args: dict, preempt_requested) -> dict:
             should_save = cer < prev_best and not (compat_skip_first and not test_cer)
             if should_save:
                 if primary:
-                    ckpt.save("modelState", state)
+                    # Params only — the reference's modelWeights semantics
+                    # (state_dict, no optimizer). The full state lives in
+                    # the periodic lastState; saving it here too would
+                    # triple the d2h volume on every new best (measured
+                    # +56 s/save through the tunnel at reference scale).
+                    ckpt.save("modelState", {"params": state["params"]})
                 logger.log({"eval/best_cer": cer}, step=step)
                 print(f"  → New best model saved! CER: {cer:.6f}")
             test_loss.append(avg_loss)
@@ -863,6 +872,15 @@ def load_model(model_dir: str, n_input_layers: int | None = None):
     params = model.init(jax.random.key(int(args.get("seed", 0))))
     ckpt = CheckpointManager(model_dir)
     name = "modelState" if ckpt.exists("modelState") else "lastState"
+    if name == "modelState":
+        try:  # round-5 format: params only (reference modelWeights parity)
+            return (
+                ckpt.restore("modelState", {"params": params})["params"],
+                model,
+                args,
+            )
+        except Exception:  # pre-round-5 best checkpoints hold full state
+            pass
     tx, _ = make_optimizer(args)
     template = {
         "params": params,

@@ -69,10 +69,12 @@ def test_expected_logits_match_centred_rows(bigram):
     # term's constant row offset — both softmax-harmless)
     corpus_c = corpus - corpus.mean()
     lam = corpus_c @ centred / (centred @ centred)
-    assert lam > 0.5
-    np.testing.assert_allclose(corpus_c, lam * centred, atol=1e-6)
-    # OOV tokens sit at exactly 0, below every in-corpus logit's row-shift
-    assert abs(logits[FIRST_WORD_ID + K + 5]) < 1e-9
+    np.testing.assert_allclose(lam, builder.target_lambda, rtol=2e-3)
+    np.testing.assert_allclose(corpus_c, lam * centred, atol=1e-5)
+    # OOV tokens sit at exactly -oov_penalty for every context
+    np.testing.assert_allclose(
+        logits[FIRST_WORD_ID + K + 5], -builder.oov_penalty, atol=0.01
+    )
 
 
 @pytest.mark.parametrize("quant", [False, True])
