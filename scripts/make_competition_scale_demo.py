@@ -93,6 +93,11 @@ def main():
                          "estimation error that makes a WFST n-gram "
                          "mis-rank homophones where the (true-bigram) "
                          "rescorer does not; 0 disables")
+    ap.add_argument("--n-trigrams", type=int, default=0,
+                    help="chain-sampled higher-order ARPA entries "
+                         "(reference-scale LM size; 0 = token entries)")
+    ap.add_argument("--n-4grams", type=int, default=0)
+    ap.add_argument("--n-5grams", type=int, default=0)
     ap.add_argument("--n-channels", type=int, default=256)
     ap.add_argument("--signal-scale", type=float, default=3.0)
     ap.add_argument("--noise-scale", type=float, default=1.0)
@@ -226,13 +231,49 @@ def main():
         lines.append(f"{np.log10(p):.4f}\t{w}\t-0.30")
     lines += ["", "\\2-grams:"]
     lines += bigram_lines
-    # token higher orders (format-valid 5-gram; the mass lives in the
-    # bigrams — the deliberate weakness rescoring must beat)
-    c0, c1 = corpus[0], corpus[int(np.argmax(flat[1]))]
-    lines += ["", "\\3-grams:", f"-1.0000\t<s> {c0} {c1}\t-0.30",
-              "", "\\4-grams:", f"-1.0000\t<s> {c0} {c1} {c0}\t-0.30",
-              "", "\\5-grams:", f"-1.0000\t<s> {c0} {c1} {c0} {c1}",
-              "", "\\end\\"]
+    # Higher orders at reference scale: n-grams SAMPLED from the true
+    # chain with probabilities consistent with the bigram factorization
+    # (γ-flattened + the same estimation noise) — they add realistic
+    # size/lookup load without extra information (the corpus is Markov),
+    # keeping the deliberate small-LM weakness rescoring must beat.
+    cum = np.cumsum(np.exp(logp), axis=1)
+    log10e = 1.0 / np.log(10)
+    for order, count in ((3, cli.n_trigrams), (4, cli.n_4grams),
+                         (5, cli.n_5grams)):
+        lines += ["", f"\\{order}-grams:"]
+        if count <= 0:
+            # single token entry keeps the file a format-valid 5-gram
+            c0, c1 = corpus[0], corpus[int(np.argmax(flat[1]))]
+            toks = " ".join(([c0, c1] * 3)[:order])
+            lines.append(f"-1.0000\t{toks}" + ("\t-0.30" if order < 5
+                                               else ""))
+            continue
+        # vectorized chain walk (chunked: the per-step [chunk, K] compare
+        # matrix is the working set)
+        seqs = np.empty((count, order), np.int64)
+        seqs[:, 0] = rng.integers(0, k, size=count)
+        for t in range(1, order):
+            u = rng.random(count)
+            for c0 in range(0, count, 100_000):
+                c1 = min(c0 + 100_000, count)
+                rows = cum[1 + seqs[c0:c1, t - 1]]
+                seqs[c0:c1, t] = (rows > u[c0:c1, None]).argmax(axis=1)
+        seqs = np.unique(seqs, axis=0)
+        lp = (
+            g * log10e
+            * sum(logp[1 + seqs[:, t - 1], seqs[:, t]]
+                  for t in range(1, order))
+            + rng.normal(0.0, cli.lm_sigma, size=len(seqs))
+        )
+        carr = np.asarray(corpus)
+        tail = "\t-0.30" if order < 5 else ""
+        for row, l10 in zip(seqs, lp):
+            lines.append(f"{l10:.4f}\t{' '.join(carr[row])}{tail}")
+        for li, l in enumerate(lines):
+            if l == f"ngram {order}=1":
+                lines[li] = f"ngram {order}={len(seqs)}"
+                break
+    lines += ["", "\\end\\"]
     arpa_path = os.path.join(cli.out, "lm_5gram.arpa")
     with open(arpa_path, "w") as f:
         f.write("\n".join(lines) + "\n")
