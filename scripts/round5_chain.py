@@ -149,7 +149,7 @@ def main() -> int:
     ap.add_argument("--deadline-epoch", type=float, default=None,
                     help="unix time after which the chain checkpoints "
                          "the active stage and exits (frees the chip)")
-    ap.add_argument("--stages", default="1,2,3,4")
+    ap.add_argument("--stages", default="1,2,3,4,5,6,7")
     ap.add_argument("--dataset", default="runs/refscale.pkl")
     ap.add_argument("--demo", default="runs/comp_demo")
     a = ap.parse_args()
@@ -204,6 +204,36 @@ def main() -> int:
             progress="runs/conformer15k/metrics.jsonl",
             stdout_path="runs/conformer15k.stdout.log",
             done_marker="Training completed!", deadline=dl,
+        )
+    if 5 in stages:
+        run_stage(
+            "conv_module_ab",
+            [py, "scripts/exp_conv_module_fullstep_ab.py"],
+            progress="runs/conv_module_ab.stdout.log",
+            stdout_path="runs/conv_module_ab.stdout.log",
+            done_marker="conformer_fullstep_conv_module_ab",
+            resume_flag=None, stall_seconds=1200.0, max_restarts=3,
+            deadline=dl,
+        )
+    if 6 in stages:
+        run_stage(
+            "b128_deficit",
+            [py, "scripts/exp_b128_deficit.py"],
+            progress="runs/b128_deficit.stdout.log",
+            stdout_path="runs/b128_deficit.stdout.log",
+            done_marker="gru_b128_deficit_attribution",
+            resume_flag=None, stall_seconds=1200.0, max_restarts=3,
+            deadline=dl,
+        )
+    if 7 in stages:
+        run_stage(
+            "bench_final",
+            [py, "bench.py"],
+            progress="runs/bench_final.stdout.log",
+            stdout_path="runs/bench_final.stdout.log",
+            done_marker="vs_baseline",
+            resume_flag=None, stall_seconds=1800.0, max_restarts=3,
+            deadline=dl,
         )
     log("chain finished")
     return 0
