@@ -63,7 +63,8 @@ def last_step(metrics_path: str) -> int:
 
 def run_stage(name, cmd, *, progress, stdout_path, done_marker=None,
               kill_at_step=None, resume_flag="--resume",
-              stall_seconds=900.0, max_restarts=12, deadline=None):
+              stall_seconds=900.0, max_restarts=12, deadline=None,
+              poll_s=20.0):
     """Run ``cmd`` to completion with stall-kill + resume. Returns True on
     success, False on give-up/deadline."""
     restarts, resumed, killed_once = 0, False, False
@@ -95,7 +96,7 @@ def run_stage(name, cmd, *, progress, stdout_path, done_marker=None,
         rc = None
         while rc is None:
             try:
-                rc = proc.wait(timeout=20)
+                rc = proc.wait(timeout=poll_s)
                 break
             except subprocess.TimeoutExpired:
                 pass
