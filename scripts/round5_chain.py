@@ -64,10 +64,22 @@ def last_step(metrics_path: str) -> int:
 def run_stage(name, cmd, *, progress, stdout_path, done_marker=None,
               kill_at_step=None, resume_flag="--resume",
               stall_seconds=900.0, max_restarts=12, deadline=None,
-              poll_s=20.0):
+              poll_s=20.0, need_tunnel=True):
     """Run ``cmd`` to completion with stall-kill + resume. Returns True on
     success, False on give-up/deadline."""
     restarts, resumed, killed_once = 0, False, False
+    peak_rss_kb = 0
+
+    def sample_rss(pid: int) -> None:
+        nonlocal peak_rss_kb
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                for ln in f:
+                    if ln.startswith("VmRSS:"):
+                        peak_rss_kb = max(peak_rss_kb, int(ln.split()[1]))
+                        return
+        except (OSError, ValueError, IndexError):
+            pass
 
     def done() -> bool:
         if done_marker is None:
@@ -85,7 +97,8 @@ def run_stage(name, cmd, *, progress, stdout_path, done_marker=None,
         if deadline and time.time() > deadline:
             log(f"{name}: deadline before launch; stopping chain stage")
             return False
-        wait_for_tunnel()
+        if need_tunnel:
+            wait_for_tunnel()
         full = cmd + ([resume_flag] if resumed and resume_flag else [])
         log(f"{name}: launch {' '.join(full)}")
         env = dict(os.environ, PYTHONUNBUFFERED="1")
@@ -100,6 +113,7 @@ def run_stage(name, cmd, *, progress, stdout_path, done_marker=None,
                 break
             except subprocess.TimeoutExpired:
                 pass
+            sample_rss(proc.pid)
             now = time.time()
             if deadline and now > deadline:
                 log(f"{name}: deadline — SIGTERM {proc.pid} (graceful "
@@ -134,7 +148,8 @@ def run_stage(name, cmd, *, progress, stdout_path, done_marker=None,
                 rc = proc.wait()
                 break
         if done() or (done_marker is None and rc == 0):
-            log(f"{name}: DONE (rc={rc})")
+            log(f"{name}: DONE (rc={rc}, peak host RSS "
+                f"{peak_rss_kb / 1024:.0f} MB)")
             return True
         restarts += 1
         resumed = True

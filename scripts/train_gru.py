@@ -9,8 +9,6 @@ import os
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from neural_speech_decoder_tpu.training.trainer import train_model  # noqa: E402
-
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
@@ -18,6 +16,11 @@ def main():
     p.add_argument("--datasetPath", required=True)
     p.add_argument("--nBatch", type=int, default=10000)
     p.add_argument("--resume", action="store_true")
+    p.add_argument(
+        "--platform", default=None, choices=("cpu", "axon", "tpu"),
+        help="pin the jax platform (the site hook's JAX_PLATFORMS=axon "
+             "wins over env vars, so CPU runs need this flag)",
+    )
     p.add_argument(
         "--device-resident-data", action="store_true",
         help="stage the packed dataset in device HBM once and assemble "
@@ -30,6 +33,12 @@ def main():
              "as int/float/bool when possible)",
     )
     cli = p.parse_args()
+
+    if cli.platform:
+        import jax
+
+        jax.config.update("jax_platforms", cli.platform)
+    from neural_speech_decoder_tpu.training.trainer import train_model
 
     # Reference baseline hyperparameters (scripts/train_model.py:4-31).
     args = {
