@@ -99,6 +99,10 @@ def run_stage(name, cmd, *, progress, stdout_path, done_marker=None,
             return False
         if need_tunnel:
             wait_for_tunnel()
+            # the tunnel wait is unbounded — re-check the deadline after
+            if deadline and time.time() > deadline:
+                log(f"{name}: deadline passed during tunnel wait")
+                return False
         full = cmd + ([resume_flag] if resumed and resume_flag else [])
         log(f"{name}: launch {' '.join(full)}")
         env = dict(os.environ, PYTHONUNBUFFERED="1")
