@@ -1,8 +1,11 @@
 """CPU operational-envelope soak: the reference's EXACT step count and
-cadence (10,000 steps, eval-every-100, checkpoint-every-500, best-CER
-selection, wandb-offline/JSONL) at reduced model width, with the
-deliberate SIGTERM around step 5,000 and a resume to completion — run by
-the same ``round5_chain.run_stage`` supervisor the chip drives use.
+cadence (10,000 GRU / 15,000 Conformer steps, eval-every-100,
+checkpoint-every-500, best-CER selection, wandb-offline/JSONL) at
+reduced model width, with a deliberate SIGTERM halfway and a resume to
+completion — run by the same ``round5_chain.run_stage`` supervisor the
+chip drives use. The Conformer family additionally exercises the AdamW
+warmup-cosine schedule, label smoothing, SpecAugment and the InterCTC
+tap (6 blocks keeps it live) over the full 15k horizon.
 
 This exercises everything about full-duration operation that is not
 chip-speed: 100 eval cycles over a long best-CER trajectory, periodic
@@ -29,12 +32,43 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
 from round5_chain import log, run_stage  # noqa: E402
 
 
+GRU_OVERRIDES = [
+    "--set", "nUnits=64", "--set", "nLayers=2",
+    "--set", "batchSize=8", "--set", "nInputFeatures=32",
+    "--set", "maxTimeSeriesLen=128", "--set", "dropout=0.0",
+    "--set", "whiteNoiseSD=0.2", "--set", "constantOffsetSD=0.05",
+    "--set", "lrStart=0.005", "--set", "lrEnd=0.005",
+    "--set", "compute_dtype=float32",
+]
+
+# 6 blocks keeps the InterCTC tap (layer L/2, gated to L>=6) live over
+# the full 15k horizon; masks sized to the tiny latent dim.
+CONFORMER_OVERRIDES = [
+    "--set", "frontend_dim=48", "--set", "latent_dim=48",
+    "--set", "autoencoder_hidden_dim=32",
+    "--set", "transformer_num_layers=6", "--set", "transformer_n_heads=4",
+    "--set", "transformer_dim_ff=96", "--set", "transformer_dropout=0.1",
+    "--set", "batchSize=8", "--set", "nInputFeatures=32",
+    "--set", "maxTimeSeriesLen=128",
+    "--set", "spec_augment_freq_mask=16", "--set", "spec_augment_time_mask=8",
+    "--set", "whiteNoiseSD=0.2", "--set", "constantOffsetSD=0.05",
+    "--set", "warmup_steps=1000",
+    "--set", "compute_dtype=float32",
+]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--out", default="runs/soak_cpu_10k")
-    ap.add_argument("--steps", type=int, default=10000)
-    ap.add_argument("--kill-at", type=int, default=5000)
+    ap.add_argument("--family", default="gru", choices=("gru", "conformer"))
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--steps", type=int, default=None)
+    ap.add_argument("--kill-at", type=int, default=None)
     a = ap.parse_args()
+    conformer = a.family == "conformer"
+    # reference durations: 10k GRU / 15k Conformer steps
+    a.steps = a.steps or (15000 if conformer else 10000)
+    a.kill_at = a.kill_at if a.kill_at is not None else a.steps // 2
+    a.out = a.out or f"runs/soak_cpu_{a.family}"
 
     ds_path = a.out + ".dataset.pkl"
     if not os.path.exists(ds_path):
@@ -51,17 +85,14 @@ def main() -> int:
             pickle.dump(ds, f, protocol=4)
 
     t0 = time.time()
+    script = ("scripts/train_conformer.py" if conformer
+              else "scripts/train_gru.py")
+    overrides = CONFORMER_OVERRIDES if conformer else GRU_OVERRIDES
     ok = run_stage(
-        "soak_cpu_10k",
-        [sys.executable, "scripts/train_gru.py",
+        f"soak_cpu_{a.family}",
+        [sys.executable, script,
          "--outputDir", a.out, "--datasetPath", ds_path,
-         "--nBatch", str(a.steps), "--platform", "cpu",
-         "--set", "nUnits=64", "--set", "nLayers=2",
-         "--set", "batchSize=8", "--set", "nInputFeatures=32",
-         "--set", "maxTimeSeriesLen=128", "--set", "dropout=0.0",
-         "--set", "whiteNoiseSD=0.2", "--set", "constantOffsetSD=0.05",
-         "--set", "lrStart=0.005", "--set", "lrEnd=0.005",
-         "--set", "compute_dtype=float32"],
+         "--nBatch", str(a.steps), "--platform", "cpu"] + overrides,
         progress=os.path.join(a.out, "metrics.jsonl"),
         stdout_path=a.out + ".stdout.log",
         done_marker="Training completed!",
@@ -92,7 +123,7 @@ def main() -> int:
     best_curve = [b for _, _, b in evals if b is not None]
     best_monotone = all(x >= y for x, y in zip(best_curve, best_curve[1:]))
     summary = {
-        "metric": "soak_cpu_10k",
+        "metric": f"soak_cpu_{a.family}",
         "steps": a.steps,
         "kill_at": a.kill_at,
         "wall_minutes": round(wall / 60, 1),

@@ -27,6 +27,11 @@ def main():
              "batches on-device (data/device_data.py) — removes the "
              "per-step host->device batch copy",
     )
+    p.add_argument(
+        "--set", action="append", default=[], metavar="K=V",
+        help="override any trainer args entry (repeatable; values parsed "
+             "as int/float/bool when possible)",
+    )
     cli = p.parse_args()
 
     if cli.platform:
@@ -78,7 +83,21 @@ def main():
         "resume": cli.resume,
         "deviceResidentData": cli.device_resident_data,
     }
+    for kv in cli.set:
+        k, v = kv.split("=", 1)
+        args[k] = _parse(v)
     train_model(args)
+
+
+def _parse(v: str):
+    for cast in (int, float):
+        try:
+            return cast(v)
+        except ValueError:
+            pass
+    if v.lower() in ("true", "false"):
+        return v.lower() == "true"
+    return v
 
 
 if __name__ == "__main__":
